@@ -1,0 +1,69 @@
+"""Bitmap-Triples-like adjacency layout (reference src/triples.rs:213-274).
+
+The reference stores SPO-sorted triples as a two-level tree: per subject,
+the list of predicates (y layer, bitmap_y marking the last predicate of each
+subject) and per (s,p) the list of objects (z layer, bitmap_z marking the
+last object of each pair).  The Spark-native materialization is per-subject
+adjacency arrays with cumulative offsets — offsets replace rank/select:
+
+    adj(s, preds: array<long>, obj_offsets: array<long>, objs: array<long>)
+
+``objs`` is the z-layer slice for subject s in (p, o) order; ``preds`` the
+distinct predicates in order; ``obj_offsets[i]`` the index in ``objs`` where
+``preds[i]``'s objects start (select1 on bitmap_z ≡ offset lookup).
+
+Everything is JVM-side: one groupBy + sort_array + higher-order functions
+(no Python in the loop).  Skewed subjects produce large arrays but stay a
+single row — acceptable because per-subject degree is bounded in practice;
+a degree cap + spill variant is the documented scale escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def adjacency(spo: DataFrame) -> DataFrame:
+    """spo(s,p,o sorted) -> adj(s, preds, obj_offsets, objs)."""
+    grouped = spo.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("p", "o"))).alias("po")
+    )
+    return grouped.select(
+        "s",
+        F.expr("array_distinct(transform(po, x -> x.p))").alias("preds"),
+        F.expr(
+            "filter(sequence(0, size(po)-1), "
+            "i -> i = 0 OR po[i].p != po[i-1].p)"
+        ).cast("array<long>").alias("obj_offsets"),
+        F.expr("transform(po, x -> x.o)").alias("objs"),
+    )
+
+
+def adjacency_stats(adj: DataFrame) -> DataFrame:
+    """Per-subject (s, n_preds, n_objs) — the SQL-checkable view of adj."""
+    return adj.select(
+        "s",
+        F.size("preds").cast("long").alias("n_preds"),
+        F.size("objs").cast("long").alias("n_objs"),
+    )
+
+
+def bitmap_y(adj: DataFrame) -> DataFrame:
+    """y-layer view: (pos_y, p, last_of_subject) in SPO order.
+
+    ``last_of_subject`` is the reference's bitmap_y bit
+    (src/triples.rs:213-274); pos_y the global y position — derived from a
+    distributed exclusive prefix sum of per-subject predicate counts
+    (offsets ≡ rank/select equivalence), never a single-partition window.
+    """
+    from .ranking import cumulative_sum
+
+    per_s = adj.select("s", F.size("preds").cast("long").alias("np"), "preds")
+    with_off = cumulative_sum(per_s, ["s"], "np", out_col="y_start")
+    return with_off.select(
+        "s", "y_start", "np", F.posexplode("preds").alias("i", "p")
+    ).select(
+        (F.col("y_start") + F.col("i")).alias("pos_y"),
+        "s", "p",
+        (F.col("i") == F.col("np") - 1).alias("last_of_subject"),
+    )

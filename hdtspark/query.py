@@ -1,0 +1,106 @@
+"""Triple-pattern query dispatch (reference src/hdt.rs:266-314).
+
+``triples_with_pattern(kg, s, p, o)`` mirrors the reference's 8-arm
+dispatch: constants are looked up in the dictionary first; any unknown
+constant short-circuits to an empty result before launching a scan
+(reference src/hdt.rs:270-274).  Bound patterns route to the projection
+whose sort order makes the filter a pruned scan:
+
+    s bound           -> SPO   (reference SubjectIter, subject_iter.rs)
+    o bound (s free)  -> OPS   (reference ObjectIter / PredicateObjectIter
+                                 over the OP index, object_iter.rs)
+    p bound only      -> PSO   (reference PredicateIter over the wavelet
+                                 tree, predicate_iter.rs)
+    none bound        -> SPO full scan (reference SubjectIter::new)
+
+Results are translated back to strings by dictionary joins (the set-based
+analog of the reference's per-position TripleCache, src/hdt.rs:349-384).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dict_builder import FourSectDict
+
+
+@dataclass
+class KG:
+    """The materialized knowledge graph: dictionary + sorted projections."""
+
+    dict: FourSectDict
+    spo: DataFrame
+    ops: DataFrame
+    pso: DataFrame
+    adj: DataFrame | None = None
+    triples_str: DataFrame | None = None
+    stats: dict = field(default_factory=dict)
+
+
+def _lookup_id(dict_df: DataFrame, term: str) -> int:
+    """Scalar term -> id lookup; 0 if absent (the reference's sentinel)."""
+    row = dict_df.filter(F.col("term") == term).select("id").first()
+    return row["id"] if row else 0
+
+
+def _empty_result(spark) -> DataFrame:
+    return spark.createDataFrame([], "s string, p string, o string")
+
+
+def triple_ids_with_pattern(kg: KG, s: str | None, p: str | None,
+                            o: str | None) -> DataFrame | None:
+    """ID-level pattern query; None means the empty short-circuit fired."""
+    sid = _lookup_id(kg.dict.subj_global, s) if s is not None else None
+    pid = _lookup_id(kg.dict.predicates, p) if p is not None else None
+    oid = _lookup_id(kg.dict.obj_global, o) if o is not None else None
+    if 0 in (sid, pid, oid):
+        return None
+
+    if sid is not None:
+        df = kg.spo.filter(F.col("s") == sid)
+        if pid is not None:
+            df = df.filter(F.col("p") == pid)
+        if oid is not None:
+            df = df.filter(F.col("o") == oid)
+    elif oid is not None:
+        df = kg.ops.filter(F.col("o") == oid)
+        if pid is not None:
+            df = df.filter(F.col("p") == pid)
+    elif pid is not None:
+        df = kg.pso.filter(F.col("p") == pid)
+    else:
+        df = kg.spo
+    return df.select("s", "p", "o")
+
+
+def ids_to_strings(kg: KG, ids: DataFrame) -> DataFrame:
+    """(s,p,o ids) -> (s,p,o strings) via three dictionary joins."""
+    sd = kg.dict.subj_global.select(F.col("id").alias("s"), F.col("term").alias("s_term"))
+    pd_ = kg.dict.predicates.select(F.col("id").alias("p"), F.col("term").alias("p_term"))
+    od = kg.dict.obj_global.select(F.col("id").alias("o"), F.col("term").alias("o_term"))
+    pd_j = F.broadcast(pd_) if kg.dict.n_predicates < 100_000 else pd_
+    return (
+        ids.join(sd, "s").join(pd_j, "p").join(od, "o")
+        .select(F.col("s_term").alias("s"), F.col("p_term").alias("p"),
+                F.col("o_term").alias("o"))
+    )
+
+
+def triples_with_pattern(kg: KG, s: str | None = None, p: str | None = None,
+                         o: str | None = None) -> DataFrame:
+    """String-level pattern query — the reference's main public API."""
+    ids = triple_ids_with_pattern(kg, s, p, o)
+    if ids is None:
+        return _empty_result(kg.spo.sparkSession)
+    return ids_to_strings(kg, ids)
+
+
+def subjects_with_po(kg: KG, p: str, o: str) -> DataFrame:
+    """?PO projection to subjects only (reference src/hdt.rs:236-253)."""
+    ids = triple_ids_with_pattern(kg, None, p, o)
+    if ids is None:
+        return kg.spo.sparkSession.createDataFrame([], "s string")
+    sd = kg.dict.subj_global.select(F.col("id").alias("s"), F.col("term").alias("s_term"))
+    return ids.select("s").join(sd, "s").select(F.col("s_term").alias("s"))
