@@ -1,0 +1,43 @@
+"""Encode/dedup/sort + invariants (reference src/nt.rs:131-159,
+src/triples.rs:228,235-249)."""
+
+from __future__ import annotations
+
+from hdtspark import encode
+
+GOLDEN_NUM_TRIPLES = 8854
+
+
+def test_spo_matches_oracle(kg, golden_oracle):
+    got = sorted(tuple(r) for r in kg.spo.collect())
+    assert got == golden_oracle.spo
+    assert len(got) == GOLDEN_NUM_TRIPLES
+
+
+def test_spo_invariants(kg):
+    v = encode.validate_spo(kg.spo, kg.dict)
+    assert v["no_zero_ids"]
+    assert v["subjects_correlative"]
+    assert v["ids_in_range"]
+    assert v["num_triples"] == GOLDEN_NUM_TRIPLES
+
+
+def test_projections_same_set(kg):
+    spo = {tuple(r) for r in kg.spo.collect()}
+    ops = {(r["s"], r["p"], r["o"]) for r in kg.ops.collect()}
+    pso = {(r["s"], r["p"], r["o"]) for r in kg.pso.collect()}
+    assert ops == spo
+    assert pso == spo
+
+
+def test_partitions_are_range_sorted(kg):
+    """Each SPO partition is internally sorted (the layout queries rely on)."""
+    def check(it):
+        prev = None
+        for row in it:
+            cur = (row["s"], row["p"], row["o"])
+            assert prev is None or prev <= cur
+            prev = cur
+        return iter(())
+
+    kg.spo.rdd.mapPartitions(lambda it: check(it)).count()
