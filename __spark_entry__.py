@@ -1,38 +1,171 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG query at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, cross-checked by the driver against DuckDB at sf0.01.
+
+The KG queries derive a transcripts table from the driver's ``documents``
+parquet (one single-turn conversation per document), run the full pipeline
+(extract -> four-section dict -> encode -> projections), and query it.  The
+oracle SQL re-implements the same semantics independently as a DuckDB CTE
+chain (hdtspark/oracles.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hdtspark import metrics, oracles, pipeline, query, rules
+from hdtspark.bitmap_triples import adjacency_stats
+
+# --- shared constants for pattern queries (doc_id 7 exists at every sf) ---
+CONV7 = f"{rules.BASE}/conv/conv-7"
+TURN7 = f"{rules.BASE}/conv/conv-7/t/0"
+ENT_SPARK = f"{rules.BASE}/e/apache-spark"
+
+_kg_cache: dict = {}
+
+
+def _transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("conv-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _kg(spark: SparkSession, sf_dir: str) -> query.KG:
+    key = (id(spark), sf_dir)
+    if key not in _kg_cache:
+        t = _transcripts_from_documents(spark, sf_dir)
+        _kg_cache[key] = pipeline.build_kg(t)
+    return _kg_cache[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the KG at sf0.001 and enumerate all mention edges."""
+    kg = _kg(spark, "/root/testdata/sf0.001")
+    return query.triples_with_pattern(kg, p=rules.P_MENTIONS)
+
+
+# ---------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _q_extract(spark, sf_dir):
+    from hdtspark import extract
+    return extract.extract_triples(_transcripts_from_documents(spark, sf_dir))
+
+
+def _q_dict(spark, sf_dir):
+    return _kg(spark, sf_dir).dict.sections_df()
+
+
+def _q_spo(spark, sf_dir):
+    return _kg(spark, sf_dir).spo
+
+
+def _q_ops(spark, sf_dir):
+    return _kg(spark, sf_dir).ops
+
+
+def _q_adj_stats(spark, sf_dir):
+    return adjacency_stats(_kg(spark, sf_dir).adj)
+
+
+def _q_void(spark, sf_dir):
+    return metrics.void_stats_df(_kg(spark, sf_dir).spo)
+
+
+def _pattern_query(s=None, p=None, o=None):
+    def run(spark, sf_dir):
+        return query.triples_with_pattern(_kg(spark, sf_dir), s, p, o)
+    return run
+
+
+def _q_po_subjects(spark, sf_dir):
+    return query.subjects_with_po(_kg(spark, sf_dir), rules.P_TYPE, rules.C_ENTITY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # S3/S4 extraction (reference src/nt.rs:165-219)
+        "kg_extract": _q_extract,
+        # D4/D5 four-section dictionary (src/nt.rs:245-266, dict_sect_pfc.rs)
+        "kg_dict": _q_dict,
+        # E1/E2 encode + dedup + SPO sort (src/nt.rs:131-159)
+        "kg_spo": _q_spo,
+        # E5 OPS projection / OP-index analog (src/triples.rs:163-209)
+        "kg_ops": _q_ops,
+        # E3 adjacency layout stats (src/triples.rs:213-274)
+        "kg_adj_stats": _q_adj_stats,
+        # F1 VOID stats (src/nt.rs:47-113)
+        "kg_void_stats": _q_void,
+        # Q1-Q9 pattern access paths (src/hdt.rs:266-314)
+        "kg_q_all": _pattern_query(),
+        "kg_q_s": _pattern_query(s=TURN7),
+        "kg_q_sp": _pattern_query(s=TURN7, p=rules.P_MENTIONS),
+        "kg_q_so": _pattern_query(s=CONV7, o=TURN7),
+        "kg_q_spo": _pattern_query(s=TURN7, p=rules.P_MENTIONS, o=ENT_SPARK),
+        "kg_q_p": _pattern_query(p=rules.P_MENTIONS),
+        "kg_q_o": _pattern_query(o=ENT_SPARK),
+        "kg_q_po": _pattern_query(p=rules.P_TYPE, o=rules.C_ENTITY),
+        "kg_q_po_subjects": _q_po_subjects,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents over the same parquet views
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k = oracles.kg_oracle
+    return {
+        "kg_extract": k("SELECT s, p, o, conv_id, turn_idx FROM raw"),
+        "kg_dict": k(
+            "SELECT 'shared' AS section, term, id FROM d_shared "
+            "UNION ALL SELECT 'subjects', term, id FROM d_subj "
+            "UNION ALL SELECT 'predicates', term, id FROM d_pred "
+            "UNION ALL SELECT 'objects', term, id FROM d_obj"
+        ),
+        "kg_spo": k("SELECT s, p, o FROM spo"),
+        "kg_ops": k("SELECT o, p, s FROM spo"),
+        "kg_adj_stats": k(
+            "SELECT s, COUNT(DISTINCT p) AS n_preds, COUNT(*) AS n_objs "
+            "FROM spo GROUP BY s"
+        ),
+        "kg_void_stats": k(
+            "SELECT 'distinct_objects' AS key, COUNT(DISTINCT o) AS value FROM spo "
+            "UNION ALL SELECT 'distinct_subjects', COUNT(DISTINCT s) FROM spo "
+            "UNION ALL SELECT 'num_predicates', COUNT(DISTINCT p) FROM spo "
+            "UNION ALL SELECT 'num_triples', COUNT(*) FROM spo"
+        ),
+        "kg_q_all": k("SELECT s, p, o FROM tri"),
+        "kg_q_s": k(f"SELECT s, p, o FROM tri WHERE s = '{TURN7}'"),
+        "kg_q_sp": k(
+            f"SELECT s, p, o FROM tri WHERE s = '{TURN7}' AND p = '{rules.P_MENTIONS}'"
+        ),
+        "kg_q_so": k(
+            f"SELECT s, p, o FROM tri WHERE s = '{CONV7}' AND o = '{TURN7}'"
+        ),
+        "kg_q_spo": k(
+            f"SELECT s, p, o FROM tri WHERE s = '{TURN7}' "
+            f"AND p = '{rules.P_MENTIONS}' AND o = '{ENT_SPARK}'"
+        ),
+        "kg_q_p": k(f"SELECT s, p, o FROM tri WHERE p = '{rules.P_MENTIONS}'"),
+        "kg_q_o": k(f"SELECT s, p, o FROM tri WHERE o = '{ENT_SPARK}'"),
+        "kg_q_po": k(
+            f"SELECT s, p, o FROM tri WHERE p = '{rules.P_TYPE}' "
+            f"AND o = '{rules.C_ENTITY}'"
+        ),
+        "kg_q_po_subjects": k(
+            f"SELECT s FROM tri WHERE p = '{rules.P_TYPE}' "
+            f"AND o = '{rules.C_ENTITY}'"
+        ),
+    }
