@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+1. The full KG-construction pipeline on a deterministic synthetic transcript
+   corpus sized to the sf (the headline metric — wall seconds; triples/sec
+   is reported alongside), mirroring the reference's read_nt conversion
+   bench (reference benches/criterion.rs:92-100).
+2. The reference's criterion query set re-expressed over the built KG:
+   full enumeration + one each of S?? / ?P? / ??O / ?PO
+   (reference benches/criterion.rs:38-89).
+3. The driver-facing documents-derived KG queries at the same sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from hdtspark import pipeline, query, rules, synth
+    from hdtspark.session import get_spark
+
+    spark = get_spark(app_name="hdtspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- 1. KG pipeline on the synthetic corpus (distributed generation) ---
+    n_conv = max(200, int(100_000 * sf))  # sf0.1 -> 10k conversations
+    transcripts = synth.transcripts_df(spark, seed=42, n_conv=n_conv).cache()
+    n_turns = _count(transcripts)  # materialize input outside the timing
+
+    kg = timed("kg_build", lambda: _build_and_materialize(pipeline, transcripts))
+    n_triples = kg.stats["num_triples"]
+    extra["n_turns"] = n_turns
+    extra["n_triples"] = n_triples
+    extra["triples_per_sec"] = round(n_triples / times["kg_build"], 1)
+
+    # --- 2. criterion-style pattern queries over the built KG ---
+    s_const = rules.turn_iri(synth.conv_id_for(1), 1)
+    timed("q_all", lambda: _count(query.triples_with_pattern(kg)))
+    timed("q_s", lambda: _count(query.triples_with_pattern(kg, s=s_const)))
+    timed("q_p", lambda: _count(query.triples_with_pattern(kg, p=rules.P_MENTIONS)))
+    timed("q_o", lambda: _count(query.triples_with_pattern(kg, o=rules.ent_iri("apache-spark"))))
+    timed("q_po", lambda: _count(query.triples_with_pattern(kg, p=rules.P_TYPE, o=rules.C_ENTITY)))
+
+    # --- 3. documents-derived KG (driver-facing path) ---
+    import __spark_entry__ as entrymod
+
+    docs_kg = timed("kg_build_documents",
+                    lambda: _build_and_materialize(pipeline, entrymod._transcripts_from_documents(spark, sf_dir)))
+    extra["n_triples_documents"] = docs_kg.stats["num_triples"]
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        **{k: v for k, v in extra.items()},
+    }))
+    spark.stop()
+
+
+def _build_and_materialize(pipeline_mod, transcripts):
+    """Build the KG and force full materialization of spo + projections."""
+    kg = pipeline_mod.build_kg(transcripts)
+    n = kg.spo.count()
+    kg.ops.count()
+    kg.pso.count()
+    kg.adj.count()
+    kg.stats["num_triples"] = n
+    return kg
+
+
+if __name__ == "__main__":
+    sys.exit(main())

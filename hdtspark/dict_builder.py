@@ -18,7 +18,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .ranking import dense_ids
+from .ranking import dense_ids_grouped
 
 
 @dataclass
@@ -56,28 +56,55 @@ class FourSectDict:
         )
 
 
-def _count_and_ids(terms: DataFrame) -> tuple[DataFrame, int]:
-    with_ids = dense_ids(terms, "term")
-    # dense_ids persisted its ranked intermediate; this count reuses it.
-    return with_ids, with_ids.count()
-
-
 def build_dict(triples_str: DataFrame) -> FourSectDict:
-    """Raw string triples -> four-section dictionary with dense IDs."""
-    s_terms = triples_str.select(F.col("s").alias("term")).distinct()
-    o_terms = triples_str.select(F.col("o").alias("term")).distinct()
+    """Raw string triples -> four-section dictionary with dense IDs.
+
+    Section classification (shared = S∩O, subject-only = S\\O, object-only =
+    O\\S — reference src/nt.rs:245-266) is ONE aggregation pass: explode each
+    triple into (term, is_subject) / (term, is_object) markers, groupBy(term)
+    with max() flags (map-side partial combine), then a CASE over the flags —
+    instead of two distincts + a semi-join + two anti-joins (5 shuffles → 1).
+    All four sections are then ranked in a SINGLE grouped two-phase pass
+    (one ranged shuffle + one tiny offsets agg), the Spark analog of the
+    reference's four parallel section-builder threads (src/nt.rs:240-266).
+    Section counts fall out of the offsets aggregation for free.
+    """
+    so_terms = (
+        triples_str.select(
+            F.explode(F.array(
+                F.struct(F.col("s").alias("term"),
+                         F.lit(1).alias("is_s"), F.lit(0).alias("is_o")),
+                F.struct(F.col("o").alias("term"),
+                         F.lit(0).alias("is_s"), F.lit(1).alias("is_o")),
+            )).alias("t")
+        )
+        .select("t.*")
+        .groupBy("term")
+        .agg(F.max("is_s").alias("is_s"), F.max("is_o").alias("is_o"))
+        .select(
+            F.when((F.col("is_s") == 1) & (F.col("is_o") == 1), "shared")
+            .when(F.col("is_s") == 1, "subjects")
+            .otherwise("objects")
+            .alias("section"),
+            "term",
+        )
+    )
     p_terms = triples_str.select(F.col("p").alias("term")).distinct()
+    labeled = so_terms.unionAll(
+        p_terms.select(F.lit("predicates").alias("section"), "term"))
 
-    shared_t = s_terms.join(o_terms, "term", "left_semi")
-    subj_t = s_terms.join(o_terms, "term", "left_anti")
-    obj_t = o_terms.join(s_terms, "term", "left_anti")
+    ids, totals = dense_ids_grouped(labeled, "section", "term")
 
-    shared, n_shared = _count_and_ids(shared_t)
-    subjects, n_subj = _count_and_ids(subj_t)
-    predicates, n_pred = _count_and_ids(p_terms)
-    objects, n_obj = _count_and_ids(obj_t)
+    def section(name: str) -> DataFrame:
+        return ids.filter(F.col("section") == name).select("term", "id")
 
     return FourSectDict(
-        shared=shared, subjects=subjects, predicates=predicates, objects=objects,
-        n_shared=n_shared, n_subjects=n_subj, n_predicates=n_pred, n_objects=n_obj,
+        shared=section("shared"),
+        subjects=section("subjects"),
+        predicates=section("predicates"),
+        objects=section("objects"),
+        n_shared=totals.get("shared", 0),
+        n_subjects=totals.get("subjects", 0),
+        n_predicates=totals.get("predicates", 0),
+        n_objects=totals.get("objects", 0),
     )

@@ -41,9 +41,13 @@ def encode_triples(triples_str: DataFrame, d: FourSectDict,
         .select(F.col("sid").alias("s"), F.col("pid").alias("p"),
                 F.col("oid").alias("o"))
     )
+    # Range-partition FIRST: duplicates of (s,p,o) co-locate in the same
+    # range partition, so the dropDuplicates aggregate is satisfied by the
+    # existing distribution and Catalyst inserts no second exchange —
+    # one shuffle total for dedup + global sort order.
     return (
-        encoded.dropDuplicates(["s", "p", "o"])
-        .repartitionByRange(n, "s", "p", "o")
+        encoded.repartitionByRange(n, "s", "p", "o")
+        .dropDuplicates(["s", "p", "o"])
         .sortWithinPartitions("s", "p", "o")
     )
 

@@ -61,6 +61,23 @@ def link_score(prior: pd.Series, occ: pd.Series) -> pd.Series:
     return prior + 0.05 * (occ >= 2).astype("float64")
 
 
+def _argmax_winners(scored: DataFrame) -> DataFrame:
+    """argmax per (turn, surface): max score, tie-break min slug.
+
+    Expressed as ``min(struct(-score, slug))`` — struct ordering is
+    lexicographic, so this is (max score, then min slug) — a plain
+    aggregation with map-side partial combine instead of a window shuffle
+    + row_number (cheaper, and no single hot partition).
+    """
+    return (
+        scored.groupBy("conv_id", "turn_idx", "turn", "surface")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                            F.col("slug").alias("slug"))).alias("w"))
+        .select("conv_id", "turn_idx", "turn",
+                F.concat(F.lit(rules.BASE + "/e/"), F.col("w.slug")).alias("ent"))
+    )
+
+
 def _term_exprs(df: DataFrame):
     conv = F.concat(F.lit(rules.BASE + "/conv/"), F.col("conv_id"))
     turn = F.concat(conv, F.lit("/t/"), F.col("turn_idx").cast("string"))
@@ -117,23 +134,7 @@ def mention_triples(transcripts: DataFrame) -> DataFrame:
         detected.join(F.broadcast(cands), "surface")
         .withColumn("score", link_score(F.col("prior"), F.col("occ")))
     )
-    # argmax per (turn, surface): score desc, slug asc — deterministic.
-    # max_by over a sortable struct avoids a window shuffle: scores are in
-    # [0,1] with 2-decimal granularity, so scale to int and invert nothing —
-    # we need (max score, then MIN slug); encode as struct(score, neg-lex) is
-    # awkward, so use a window over fine-grained keys (no skew: key =
-    # conv×turn×surface).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("conv_id", "turn_idx", "surface").orderBy(
-        F.col("score").desc(), F.col("slug").asc()
-    )
-    winners = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", "turn_idx", "turn",
-                F.concat(F.lit(rules.BASE + "/e/"), F.col("slug")).alias("ent"))
-    )
+    winners = _argmax_winners(scored)
 
     mentions = winners.select(
         F.col("turn").alias("s"), F.lit(rules.P_MENTIONS).alias("p"),
@@ -171,17 +172,7 @@ def mention_triples_native(transcripts: DataFrame) -> DataFrame:
         .withColumn("score",
                     F.col("prior") + F.when(F.col("occ") >= 2, 0.05).otherwise(0.0))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("conv_id", "turn_idx", "surface").orderBy(
-        F.col("score").desc(), F.col("slug").asc()
-    )
-    winners = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", "turn_idx", "turn",
-                F.concat(F.lit(rules.BASE + "/e/"), F.col("slug")).alias("ent"))
-    )
+    winners = _argmax_winners(scored)
     mentions = winners.select(
         F.col("turn").alias("s"), F.lit(rules.P_MENTIONS).alias("p"),
         F.col("ent").alias("o"), "conv_id", "turn_idx",

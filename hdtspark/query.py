@@ -39,10 +39,32 @@ class KG:
     stats: dict = field(default_factory=dict)
 
 
-def _lookup_id(dict_df: DataFrame, term: str) -> int:
-    """Scalar term -> id lookup; 0 if absent (the reference's sentinel)."""
-    row = dict_df.filter(F.col("term") == term).select("id").first()
-    return row["id"] if row else 0
+def _lookup_ids(kg: KG, s: str | None, p: str | None, o: str | None):
+    """All bound-constant lookups in ONE Spark job (a union of the three
+    dictionary point-filters), mirroring the reference's three
+    ``string_to_id`` calls (src/hdt.rs:269) without three scheduler
+    round-trips.  Missing constant -> 0 (the reference's sentinel)."""
+    parts = []
+    if s is not None:
+        parts.append(kg.dict.subj_global.filter(F.col("term") == s)
+                     .select(F.lit("s").alias("k"), "id"))
+    if p is not None:
+        parts.append(kg.dict.predicates.filter(F.col("term") == p)
+                     .select(F.lit("p").alias("k"), "id"))
+    if o is not None:
+        parts.append(kg.dict.obj_global.filter(F.col("term") == o)
+                     .select(F.lit("o").alias("k"), "id"))
+    found: dict[str, int] = {}
+    if parts:
+        u = parts[0]
+        for df in parts[1:]:
+            u = u.unionAll(df)
+        for row in u.collect():
+            found[row["k"]] = row["id"]
+    sid = (found.get("s", 0)) if s is not None else None
+    pid = (found.get("p", 0)) if p is not None else None
+    oid = (found.get("o", 0)) if o is not None else None
+    return sid, pid, oid
 
 
 def _empty_result(spark) -> DataFrame:
@@ -52,9 +74,7 @@ def _empty_result(spark) -> DataFrame:
 def triple_ids_with_pattern(kg: KG, s: str | None, p: str | None,
                             o: str | None) -> DataFrame | None:
     """ID-level pattern query; None means the empty short-circuit fired."""
-    sid = _lookup_id(kg.dict.subj_global, s) if s is not None else None
-    pid = _lookup_id(kg.dict.predicates, p) if p is not None else None
-    oid = _lookup_id(kg.dict.obj_global, o) if o is not None else None
+    sid, pid, oid = _lookup_ids(kg, s, p, o)
     if 0 in (sid, pid, oid):
         return None
 
