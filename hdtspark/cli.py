@@ -1,0 +1,109 @@
+"""spark-submit entry point (the reference CLI analog, src/main.rs:67-178).
+
+Usage (cluster):
+    python -m hdtspark.zip_build   # builds dist/hdtspark.zip
+    spark-submit --py-files dist/hdtspark.zip cli_main.py <cmd> ...
+
+Subcommands:
+    synth   --n-conv N --out DIR              generate a transcript corpus
+    build   --input DIR --warehouse DIR       (resumable) KG materialization
+    query   --warehouse DIR [-s S] [-p P] [-o O] [--limit N]
+    info    --warehouse DIR                   VOID stats + stage manifests
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hdtspark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth")
+    p_synth.add_argument("--n-conv", type=int, default=1000)
+    p_synth.add_argument("--seed", type=int, default=42)
+    p_synth.add_argument("--out", required=True)
+
+    p_build = sub.add_parser("build")
+    p_build.add_argument("--input", required=True, help="transcripts parquet dir")
+    p_build.add_argument("--warehouse", required=True)
+    p_build.add_argument("--native-mentions", action="store_true")
+
+    p_query = sub.add_parser("query")
+    p_query.add_argument("--warehouse", required=True)
+    p_query.add_argument("-s", default=None)
+    p_query.add_argument("-p", default=None)
+    p_query.add_argument("-o", default=None)
+    p_query.add_argument("--limit", type=int, default=20)
+
+    p_info = sub.add_parser("info")
+    p_info.add_argument("--warehouse", required=True)
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"hdtspark-{args.cmd}")
+
+    if args.cmd == "synth":
+        from .synth import transcripts_df
+        df = transcripts_df(spark, args.seed, args.n_conv)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+
+    elif args.cmd == "build":
+        from .checkpoint import materialize_kg
+        transcripts = spark.read.parquet(args.input)
+        kg, mat = materialize_kg(spark, transcripts, args.warehouse,
+                                 use_pandas_udf=not args.native_mentions)
+        print(json.dumps({
+            "stages": [{"stage": r.name, "skipped": r.skipped,
+                        "rows": r.rows, "wall_ms": r.wall_ms}
+                       for r in mat.results],
+        }))
+
+    elif args.cmd == "query":
+        from .checkpoint import Materializer
+        from .dict_builder import FourSectDict
+        from .query import KG, triples_with_pattern
+        mat = Materializer(spark, args.warehouse)
+        m = mat.read_manifest("dict")
+        sections = mat.read_table("dict")
+        d = FourSectDict(
+            shared=sections.filter("section = 'shared'").select("term", "id"),
+            subjects=sections.filter("section = 'subjects'").select("term", "id"),
+            predicates=sections.filter("section = 'predicates'").select("term", "id"),
+            objects=sections.filter("section = 'objects'").select("term", "id"),
+            n_shared=m["n_shared"], n_subjects=m["n_subjects"],
+            n_predicates=m["n_predicates"], n_objects=m["n_objects"],
+        )
+        kg = KG(dict=d, spo=mat.read_table("spo"), ops=mat.read_table("ops"),
+                pso=mat.read_table("pso"))
+        res = triples_with_pattern(kg, args.s, args.p, args.o)
+        for row in res.limit(args.limit).collect():
+            print(f"{row['s']} {row['p']} {row['o']} .")
+
+    elif args.cmd == "info":
+        from .checkpoint import Materializer
+        mat = Materializer(spark, args.warehouse)
+        out = {}
+        for stage in ["triples_str", "dict", "spo", "ops", "pso", "adj", "metrics"]:
+            m = mat.read_manifest(stage)
+            if m:
+                out[stage] = {k: m[k] for k in ("rows_out", "wall_ms") if k in m}
+        try:
+            for r in mat.read_table("metrics").collect():
+                out[r["key"]] = r["value"]
+        except Exception:
+            pass
+        print(json.dumps(out, indent=2))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
