@@ -93,6 +93,80 @@ def _q_po_subjects(spark, sf_dir):
     return query.subjects_with_po(_kg(spark, sf_dir), rules.P_TYPE, rules.C_ENTITY)
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dd_docs(spark, sf_dir):
+    """Dedup corpus: documents + injected exact duplicates of every 10th."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return docs.unionAll(dups)
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+def _q_dd_exact(spark, sf_dir):
+    from hdtspark import dedup
+    return dedup.exact_duplicates(_dd_docs(spark, sf_dir))
+
+
+def _q_dd_minhash(spark, sf_dir):
+    from hdtspark import dedup
+    return dedup.near_duplicates_minhash(_dd_docs(spark, sf_dir), threshold=0.7)
+
+
+def _q_dd_ngram(spark, sf_dir):
+    from hdtspark import dedup
+    return dedup.ngram_jaccard_pairs(_dd_docs(spark, sf_dir), threshold=0.5, k=5)
+
+
+def _q_dd_simhash(spark, sf_dir):
+    from hdtspark import dedup
+    return dedup.simhash_near_pairs(_dd_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_tx_tokens(spark, sf_dir):
+    from hdtspark import textops
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
+def _q_tx_quality(spark, sf_dir):
+    from hdtspark import textops
+    return textops.quality_scores(_docs(spark, sf_dir))
+
+
+def _q_tx_langid(spark, sf_dir):
+    from hdtspark import textops
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_tx_fingerprint(spark, sf_dir):
+    from hdtspark import textops
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from hdtspark import simsearch
+    return simsearch.brute_force_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _q_ann_bucketed(spark, sf_dir):
+    from hdtspark import simsearch
+    return simsearch.bucketed_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
+def _q_mm_features(spark, sf_dir):
+    from hdtspark import multimodal
+    return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # S3/S4 extraction (reference src/nt.rs:165-219)
@@ -117,6 +191,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_q_o": _pattern_query(o=ENT_SPARK),
         "kg_q_po": _pattern_query(p=rules.P_TYPE, o=rules.C_ENTITY),
         "kg_q_po_subjects": _q_po_subjects,
+        # Training-data pipeline: deduplication
+        "dd_exact": _q_dd_exact,
+        "dd_minhash": _q_dd_minhash,
+        "dd_ngram_jaccard": _q_dd_ngram,
+        "dd_simhash": _q_dd_simhash,  # rows-only (bit-level, non-SQL)
+        # Text analysis
+        "tx_tokens": _q_tx_tokens,
+        "tx_quality": _q_tx_quality,
+        "tx_langid": _q_tx_langid,
+        "tx_fingerprint": _q_tx_fingerprint,
+        # Similarity search over embeddings
+        "ann_topk": _q_ann_topk,
+        "ann_bucketed": _q_ann_bucketed,
+        # Multimodal plumbing (fake decode, real Arrow path)
+        "mm_features": _q_mm_features,
     }
 
 
@@ -168,4 +257,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT s FROM tri WHERE p = '{rules.P_TYPE}' "
             f"AND o = '{rules.C_ENTITY}'"
         ),
+        # extras (dd_simhash intentionally omitted -> rows-only check)
+        "dd_exact": oracles.exact_dedup_oracle(),
+        "dd_minhash": oracles.minhash_oracle(threshold=0.7),
+        "dd_ngram_jaccard": oracles.ngram_jaccard_oracle(k=5, threshold=0.5),
+        **oracles.textops_oracles(),
+        "ann_topk": oracles.ann_oracle(ANN_QUERY_IDS, k=10, bucketed=False),
+        "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True),
+        "mm_features": oracles.multimodal_oracle(),
     }

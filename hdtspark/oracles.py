@@ -98,3 +98,182 @@ spo AS (
 
 def kg_oracle(final_select: str) -> str:
     return kg_cte() + final_select
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline extras (dedup / text analysis / ANN / multimodal)
+# ---------------------------------------------------------------------------
+
+# Augmented corpus for dedup: inject exact duplicates of every 10th doc.
+DD_DOCS = """
+dd_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _shingles_sql(k: int) -> str:
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len(toks) - {k} + 1, 1))])"
+    )
+
+
+def dedup_shingle_cte(k: int = 5) -> str:
+    return f"""
+toksd AS (SELECT doc_id, {_TOKS} AS toks FROM dd_docs),
+shingled AS (SELECT doc_id, unnest({_shingles_sql(k)}) AS shingle FROM toksd),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id)
+"""
+
+
+def minhash_oracle(num_hashes: int = 8, bands: int = 4,
+                   threshold: float = 0.7) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{j}|' || shingle)) AS sig_{j}" for j in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_val FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"sig_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {DD_DOCS.strip().rstrip()},
+{dedup_shingle_cte().strip().lstrip()},
+sigs AS (SELECT doc_id, {sig_cols} FROM shingled GROUP BY doc_id),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b
+  FROM bands l JOIN bands r2
+    ON l.band_idx = r2.band_idx AND l.band_val = r2.band_val
+  WHERE l.doc_id < r2.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN shingled sa ON sa.doc_id = c.a
+  JOIN shingled sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 4) >= {threshold}
+"""
+
+
+def ngram_jaccard_oracle(k: int = 5, threshold: float = 0.5) -> str:
+    return f"""
+WITH {DD_DOCS.strip()},
+{dedup_shingle_cte(k).strip()},
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+  FROM shingled sa JOIN shingled sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 4) >= {threshold}
+"""
+
+
+def exact_dedup_oracle() -> str:
+    return f"""
+WITH {DD_DOCS.strip()}
+SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+FROM dd_docs GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def _dot(a: str, b: str) -> str:
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def ann_oracle(query_ids: list[int], k: int, bucketed: bool) -> str:
+    qids = ", ".join(str(q) for q in query_ids)
+    cos = (f"round({_dot('q.embedding', 'e.embedding')} / "
+           f"(sqrt({_dot('q.embedding', 'q.embedding')}) * "
+           f"sqrt({_dot('e.embedding', 'e.embedding')})), 4)")
+    bucket = ("CAST(embedding[1] > 0 AS INT) * 4 + "
+              "CAST(embedding[2] > 0 AS INT) * 2 + "
+              "CAST(embedding[3] > 0 AS INT)")
+    if bucketed:
+        return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding, bucket FROM wb WHERE vec_id IN ({qids})),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS score
+  FROM wb e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({qids})),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS score
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def textops_oracles() -> dict[str, str]:
+    from .textops import LANG_MARKERS, STOPWORDS, lang_id_oracle_sql_case
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> x IN ({m}))) AS s_{lg}".format(
+            m=", ".join(f"'{w}'" for w in LANG_MARKERS[lg]), lg=lg)
+        for lg in langs
+    )
+    return {
+        "tx_tokens": f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens, length(text) AS n_chars_m
+FROM documents
+""",
+        "tx_quality": f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter({_TOKS}, x -> x IN ({stop_list}))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       round(n_stop / n_tok, 4) AS stop_ratio,
+       round(least(1.0, n_tok / 100.0) * (1 - n_stop / n_tok), 4) AS quality
+FROM t
+""",
+        "tx_langid": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id, {lang_id_oracle_sql_case()} AS pred_lang FROM s
+""",
+        "tx_fingerprint": """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+""",
+    }
+
+
+def multimodal_oracle() -> str:
+    return """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(64 + n % 64 AS INT) AS width,
+       CAST(64 + (7 * n) % 64 AS INT) AS height,
+       CAST(1 + n % 5 AS INT) AS frames
+FROM m
+"""
