@@ -20,6 +20,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
 
 SHINGLE_K = 5
 NUM_HASHES = 8
@@ -164,7 +165,7 @@ def simhash_py(text: str) -> int:
     return out
 
 
-@F.pandas_udf("long")
+@F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     """Arrow-batched SimHash: numpy bit unpacking per doc."""
     out = np.zeros(len(text), dtype="int64")

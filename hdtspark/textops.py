@@ -114,7 +114,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
         f"transform(sequence(1, greatest(size({toks}) - {k} + 1, 1)), "
         f"i -> concat_ws(' ', slice({toks}, i, {k})))"
     )
-    hashes = f"transform({shingles}, s -> conv(substring(md5(s), 1, 8), 16, 10))"
+    hashes = (f"transform({shingles}, "
+              f"s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))")
     windows = (
         f"transform(sequence(1, greatest(size({hashes}) - {w} + 1, 1)), "
         f"i -> array_min(slice({hashes}, i, {w})))"

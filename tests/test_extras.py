@@ -1,0 +1,174 @@
+"""Unit tests for the training-data extras (dedup / textops / simsearch /
+multimodal) against hand-computed or pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdtspark import dedup, multimodal, simsearch, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),   # near dup
+        (3, "completely different words appear in this one here now"),
+        (4, "a a a the the short"),
+        (5, "der das und more german looking marker words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = {(r["cnt"], r["keep_id"]) for r in dedup.exact_duplicates(docs).collect()}
+    assert got == {(2, 0)}
+
+
+def test_minhash_finds_exact_and_near(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.near_duplicates_minhash(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # near-dup (one token differs) shares most 5-gram shingles
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1, k=3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # hand-computed: 8 trigrams each, 6 shared (positions 7-9 differ)
+    toks0 = "the quick brown fox jumps over the lazy dog today".split()
+    toks2 = "the quick brown fox jumps over the lazy cat today".split()
+    sh0 = {" ".join(toks0[i:i + 3]) for i in range(8)}
+    sh2 = {" ".join(toks2[i:i + 3]) for i in range(8)}
+    expected = round(len(sh0 & sh2) / len(sh0 | sh2), 4)
+    assert pairs[(0, 2)] == expected
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhashes(docs).collect()}
+    for row in docs.collect():
+        assert got[row["doc_id"]] == dedup.simhash_py(row["text"]), row["doc_id"]
+
+
+def test_simhash_near_pairs(docs):
+    """Exact parity with a Python replica of the chunk-LSH semantics:
+    candidates = pairs agreeing on >=1 of 4 15-bit chunks; keep
+    hamming <= max_hamming."""
+    max_h = 12
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(docs, max_hamming=max_h).collect()}
+    hs = {row["doc_id"]: dedup.simhash_py(row["text"]) for row in docs.collect()}
+    exp = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            chunk_match = any(
+                (hs[a] >> (c * 15)) % (1 << 15) == (hs[b] >> (c * 15)) % (1 << 15)
+                for c in range(4))
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if chunk_match and ham <= max_h:
+                exp[(a, b)] = ham
+    assert got == exp
+    assert got[(0, 1)] == 0  # identical text -> identical simhash
+
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in textops.token_counts(docs).collect()}
+    assert got[0] == 10 and got[4] == 6
+
+
+def test_quality_scores(docs):
+    got = {r["doc_id"]: (r["stop_ratio"], r["quality"])
+           for r in textops.quality_scores(docs).collect()}
+    assert got[4] == (round(5 / 6, 4), round(6 / 100 * (1 - 5 / 6), 4))
+    assert got[3] == (0.0, round(9 / 100, 4))
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in textops.lang_id(docs).collect()}
+    assert got[5] == "de"   # 3 German markers beat 0 others
+    assert got[0] == "en"
+    assert got[3] == "en"   # no markers anywhere -> default en
+
+
+def test_fingerprints(docs):
+    got = {r["doc_id"]: r["fp"] for r in textops.fingerprints(docs).collect()}
+    for row in docs.collect():
+        assert got[row["doc_id"]] == hashlib.md5(
+            row["text"].lower().strip().encode()).hexdigest()
+
+
+def _py_winnow(text, k=3, w=4):
+    toks = text.lower().strip().split()
+    n_sh = max(len(toks) - k + 1, 1)
+    shingles = [" ".join(toks[i:i + k]) for i in range(n_sh)]
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    n_w = max(len(hs) - w + 1, 1)
+    mins = {min(hs[i:i + w]) for i in range(n_w)}
+    return sorted(mins)
+
+
+def test_winnow_fingerprints(docs):
+    got = {r["doc_id"]: [int(x) for x in r["fp"]]
+           for r in textops.winnow_fingerprints(docs).collect()}
+    for row in docs.collect():
+        assert got[row["doc_id"]] == _py_winnow(row["text"]), row["doc_id"]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    import numpy as np
+    data = {r["vec_id"]: np.array(r["embedding"], dtype="float32")
+            for r in embeddings.collect()}
+    got = [(r["query_id"], r["vec_id"], r["score"], r["rank"])
+           for r in simsearch.brute_force_topk(embeddings, [0], k=5).collect()]
+    q = data[0].astype("float64")
+    scores = []
+    for vid, v in data.items():
+        if vid == 0:
+            continue
+        v = v.astype("float64")
+        s = round(float(q @ v / (math.sqrt(q @ q) * math.sqrt(v @ v))), 4)
+        scores.append((-s, vid))
+    scores.sort()
+    expected = [(0, vid, -ns, i + 1) for i, (ns, vid) in enumerate(scores[:5])]
+    assert got == expected
+
+
+def test_bucketed_topk_subset_of_bucket(embeddings):
+    res = simsearch.bucketed_topk(embeddings, [0], k=5).collect()
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in embeddings.select("vec_id", simsearch.bucket_expr()).collect()}
+    qb = buckets[0]
+    assert res
+    for r in res:
+        assert buckets[r["vec_id"]] == qb
+
+
+def test_multimodal_features(docs):
+    media = multimodal.attach_payload(docs)
+    feats = {r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["frames"])
+             for r in multimodal.decode_features(media).collect()}
+    for row in docs.collect():
+        n = len(row["text"].encode())
+        assert feats[row["doc_id"]] == (n, 64 + n % 64, 64 + 7 * n % 64, 1 + n % 5)
+
+
+def test_multimodal_real_decode_is_stubbed(docs):
+    media = multimodal.attach_payload(docs)
+    with pytest.raises(Exception):  # NotImplementedError inside the task
+        multimodal.decode_features(media, real=True).collect()
