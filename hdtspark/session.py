@@ -21,6 +21,12 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
+    # Shuffle/spill dir: in local mode the VM disk is slow and noisy; tmpfs
+    # keeps shuffle I/O off it.  On a real cluster this is instead the
+    # executors' NVMe local dirs (spark.local.dir set by the cluster conf).
+    local_dir = os.environ.get("HDTSPARK_LOCAL_DIR")
+    if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/hdtspark-local"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -33,6 +39,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("HDTSPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
