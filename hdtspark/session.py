@@ -27,10 +27,14 @@ def get_spark(
     local_dir = os.environ.get("HDTSPARK_LOCAL_DIR")
     if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/hdtspark-local"
+    # 4x the core count: small enough tasks to avoid per-task sort spill and
+    # keep all cores busy through AQE coalescing; on a real cluster this is
+    # sized so post-shuffle partitions land near 64-128 MB.
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 4 * cpus))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32MB")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
