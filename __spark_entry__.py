@@ -162,6 +162,20 @@ def _q_ann_bucketed(spark, sf_dir):
     return simsearch.bucketed_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
+def _q_kg_lists(spark, sf_dir):
+    """Q10 multi-constant matcher: mentions of two specific entities."""
+    return query.triples_matching(
+        _kg(spark, sf_dir),
+        p_terms=[rules.P_MENTIONS],
+        o_terms=[ENT_SPARK, f"{rules.BASE}/e/sql-table"],
+    )
+
+
+def _q_dd_embedding(spark, sf_dir):
+    from hdtspark import dedup
+    return dedup.embedding_near_duplicates(_embeddings(spark, sf_dir), threshold=0.9)
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -191,11 +205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_q_o": _pattern_query(o=ENT_SPARK),
         "kg_q_po": _pattern_query(p=rules.P_TYPE, o=rules.C_ENTITY),
         "kg_q_po_subjects": _q_po_subjects,
+        # Q10: multi-constant term-list matcher
+        "kg_q_lists": _q_kg_lists,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
         "dd_ngram_jaccard": _q_dd_ngram,
         "dd_simhash": _q_dd_simhash,  # rows-only (bit-level, non-SQL)
+        "dd_embedding": _q_dd_embedding,
         # Text analysis
         "tx_tokens": _q_tx_tokens,
         "tx_quality": _q_tx_quality,
@@ -257,11 +274,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT s FROM tri WHERE p = '{rules.P_TYPE}' "
             f"AND o = '{rules.C_ENTITY}'"
         ),
+        "kg_q_lists": k(
+            f"SELECT s, p, o FROM tri WHERE p = '{rules.P_MENTIONS}' "
+            f"AND o IN ('{ENT_SPARK}', '{rules.BASE}/e/sql-table')"
+        ),
         # extras (dd_simhash intentionally omitted -> rows-only check)
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_minhash": oracles.minhash_oracle(threshold=0.7),
         "dd_ngram_jaccard": oracles.ngram_jaccard_oracle(k=5, threshold=0.5),
         **oracles.textops_oracles(),
+        "dd_embedding": oracles.embedding_dedup_oracle(threshold=0.9),
         "ann_topk": oracles.ann_oracle(ANN_QUERY_IDS, k=10, bucketed=False),
         "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True),
         "mm_features": oracles.multimodal_oracle(),

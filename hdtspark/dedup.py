@@ -145,6 +145,29 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.99,
+                              id_col: str = "vec_id",
+                              emb_col: str = "embedding") -> DataFrame:
+    """(a, b, cosine) — embedding-cosine near-dup pairs, sign-LSH pruned.
+
+    Candidates = pairs sharing the sign-LSH bucket (dims 1..3); exact cosine
+    (JVM aggregate/zip_with, double) verifies.  At scale the bucket is a
+    partition key, so the self-join is bucket-local.
+    """
+    from .simsearch import _cosine_expr, bucket_expr
+
+    with_b = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"), bucket_expr(emb_col))
+    left = with_b.select(F.col("vid").alias("a"), F.col("emb").alias("emb_a"), "bucket")
+    right = with_b.select(F.col("vid").alias("b"), F.col("emb").alias("emb_b"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr(_cosine_expr("emb_a", "emb_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long

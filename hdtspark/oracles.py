@@ -231,6 +231,21 @@ QUALIFY rank <= {k}
 """
 
 
+def embedding_dedup_oracle(threshold: float) -> str:
+    cos = (f"round({_dot('l.embedding', 'r2.embedding')} / "
+           f"(sqrt({_dot('l.embedding', 'l.embedding')}) * "
+           f"sqrt({_dot('r2.embedding', 'r2.embedding')})), 4)")
+    bucket = ("CAST(embedding[1] > 0 AS INT) * 4 + "
+              "CAST(embedding[2] > 0 AS INT) * 2 + "
+              "CAST(embedding[3] > 0 AS INT)")
+    return f"""
+WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT l.vec_id AS a, r2.vec_id AS b, {cos} AS cosine
+FROM wb l JOIN wb r2 ON l.bucket = r2.bucket AND l.vec_id < r2.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 def textops_oracles() -> dict[str, str]:
     from .textops import LANG_MARKERS, STOPWORDS, lang_id_oracle_sql_case
 

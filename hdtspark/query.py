@@ -117,6 +117,44 @@ def triples_with_pattern(kg: KG, s: str | None = None, p: str | None = None,
     return ids_to_strings(kg, ids)
 
 
+def triples_matching(kg: KG, s_terms: list[str] | None = None,
+                     p_terms: list[str] | None = None,
+                     o_terms: list[str] | None = None) -> DataFrame:
+    """Q10: multi-constant matchers (reference src/hdt_graph.rs:138-202).
+
+    Each position may carry a term LIST; the reference routes singletons to
+    the indexed paths and evaluates lists as residual post-filters — here a
+    singleton becomes the projection-routing constant and lists become
+    Catalyst ``isin`` filters (pushed down to the scan).
+    """
+    def ids_for(dict_df: DataFrame, terms: list[str]) -> list[int]:
+        rows = dict_df.filter(F.col("term").isin(terms)).select("id").collect()
+        return [r["id"] for r in rows]
+
+    sids = ids_for(kg.dict.subj_global, s_terms) if s_terms else None
+    pids = ids_for(kg.dict.predicates, p_terms) if p_terms else None
+    oids = ids_for(kg.dict.obj_global, o_terms) if o_terms else None
+    if (s_terms and not sids) or (p_terms and not pids) or (o_terms and not oids):
+        return _empty_result(kg.spo.sparkSession)
+
+    # Route to the projection matching the most selective single-bound slot.
+    if sids and len(sids) == 1:
+        df = kg.spo.filter(F.col("s") == sids[0])
+    elif oids and len(oids) == 1:
+        df = kg.ops.filter(F.col("o") == oids[0])
+    elif pids and len(pids) == 1:
+        df = kg.pso.filter(F.col("p") == pids[0])
+    else:
+        df = kg.spo
+    if sids and len(sids) > 1:
+        df = df.filter(F.col("s").isin(sids))
+    if pids and len(pids) > 1:
+        df = df.filter(F.col("p").isin(pids))
+    if oids and len(oids) > 1:
+        df = df.filter(F.col("o").isin(oids))
+    return ids_to_strings(kg, df.select("s", "p", "o"))
+
+
 def subjects_with_po(kg: KG, p: str, o: str) -> DataFrame:
     """?PO projection to subjects only (reference src/hdt.rs:236-253)."""
     ids = triple_ids_with_pattern(kg, None, p, o)
