@@ -89,11 +89,7 @@ def main() -> None:
 def _build_and_materialize(pipeline_mod, transcripts):
     """Build the KG and force full materialization of spo + projections."""
     kg = pipeline_mod.build_kg(transcripts)
-    n = kg.spo.count()
-    kg.ops.count()
-    kg.pso.count()
-    kg.adj.count()
-    kg.stats["num_triples"] = n
+    kg.stats["num_triples"] = pipeline_mod.materialize(kg)
     return kg
 
 

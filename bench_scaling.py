@@ -37,8 +37,7 @@ def full_build(seed, n_conv):
     n_turns = transcripts.count()      # materialize input outside timing
     t0 = time.monotonic()
     kg = pipeline.build_kg(transcripts)
-    n_triples = kg.spo.count()
-    kg.ops.count(); kg.pso.count(); kg.adj.count()
+    n_triples = pipeline.materialize(kg)
     wall = time.monotonic() - t0
     kg.spo.unpersist(); kg.triples_str.unpersist(); transcripts.unpersist()
     return n_turns, n_triples, wall

@@ -69,29 +69,35 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
     reference's four parallel section-builder threads (src/nt.rs:240-266).
     Section counts fall out of the offsets aggregation for free.
     """
-    so_terms = (
+    flags = (
         triples_str.select(
             F.explode(F.array(
-                F.struct(F.col("s").alias("term"),
-                         F.lit(1).alias("is_s"), F.lit(0).alias("is_o")),
-                F.struct(F.col("o").alias("term"),
-                         F.lit(0).alias("is_s"), F.lit(1).alias("is_o")),
+                F.struct(F.col("s").alias("term"), F.lit(1).alias("is_s"),
+                         F.lit(0).alias("is_o"), F.lit(0).alias("is_p")),
+                F.struct(F.col("o").alias("term"), F.lit(0).alias("is_s"),
+                         F.lit(1).alias("is_o"), F.lit(0).alias("is_p")),
+                F.struct(F.col("p").alias("term"), F.lit(0).alias("is_s"),
+                         F.lit(0).alias("is_o"), F.lit(1).alias("is_p")),
             )).alias("t")
         )
         .select("t.*")
         .groupBy("term")
-        .agg(F.max("is_s").alias("is_s"), F.max("is_o").alias("is_o"))
-        .select(
-            F.when((F.col("is_s") == 1) & (F.col("is_o") == 1), "shared")
-            .when(F.col("is_s") == 1, "subjects")
-            .otherwise("objects")
-            .alias("section"),
-            "term",
-        )
+        .agg(F.max("is_s").alias("is_s"), F.max("is_o").alias("is_o"),
+             F.max("is_p").alias("is_p"))
     )
-    p_terms = triples_str.select(F.col("p").alias("term")).distinct()
-    labeled = so_terms.unionAll(
-        p_terms.select(F.lit("predicates").alias("section"), "term"))
+    # A term can be a predicate AND a subject/object: the reference numbers
+    # predicates independently (four_sect_dict.rs:35-44), so emit the term
+    # into both its s/o section and the predicates section.
+    so_terms = flags.filter((F.col("is_s") == 1) | (F.col("is_o") == 1)).select(
+        F.when((F.col("is_s") == 1) & (F.col("is_o") == 1), "shared")
+        .when(F.col("is_s") == 1, "subjects")
+        .otherwise("objects")
+        .alias("section"),
+        "term",
+    )
+    p_terms = flags.filter(F.col("is_p") == 1).select(
+        F.lit("predicates").alias("section"), "term")
+    labeled = so_terms.unionAll(p_terms)
 
     ids, totals = dense_ids_grouped(labeled, "section", "term")
 

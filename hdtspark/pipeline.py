@@ -18,9 +18,13 @@ def build_kg(transcripts: DataFrame, use_pandas_udf: bool = True,
     """Run extract -> dict -> encode -> projections (+ adjacency)."""
     triples_str = extract.extract_triples(transcripts, use_pandas_udf=use_pandas_udf)
     if cache:
-        # The raw triples feed four distinct-term scans + the encode joins;
-        # caching avoids re-running the pandas-UDF extraction each time.
-        triples_str = triples_str.cache()
+        # Raw triples feed the dictionary term-agg and the encode joins;
+        # DISK_ONLY persist lands on spark.local.dir (tmpfs in local mode,
+        # executor NVMe on a cluster) — compact serialized blocks, no
+        # columnar-compression build cost, re-reads are sub-second.
+        from pyspark import StorageLevel
+
+        triples_str = triples_str.persist(StorageLevel.DISK_ONLY)
 
     d = build_dict(triples_str)
     spo = encode.encode_triples(triples_str, d)
@@ -31,3 +35,20 @@ def build_kg(transcripts: DataFrame, use_pandas_udf: bool = True,
     adj = bitmap_triples.adjacency(spo) if with_adjacency else None
 
     return KG(dict=d, spo=spo, ops=ops, pso=pso, adj=adj, triples_str=triples_str)
+
+
+def materialize(kg: KG) -> int:
+    """Force full computation; returns the triple count.
+
+    spo first (everything hangs off it), then the three derived structures
+    CONCURRENTLY — Spark's scheduler runs independent jobs in parallel, so
+    the projections' exchanges overlap instead of paying three sequential
+    stage latencies (on a cluster these are independent job DAGs too).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = kg.spo.count()
+    derived = [df for df in (kg.ops, kg.pso, kg.adj) if df is not None]
+    with ThreadPoolExecutor(max_workers=len(derived) or 1) as ex:
+        list(ex.map(lambda df: df.count(), derived))
+    return n
