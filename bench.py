@@ -48,6 +48,13 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 3)
         return out
 
+    # --- 0. JIT warmup: identical code path, small disjoint corpus, so the
+    # timed numbers reflect steady state (criterion-style; see BENCH.md) ---
+    warm = synth.transcripts_df(spark, seed=7, n_conv=500).cache()
+    warm.count()
+    _build_and_materialize(pipeline, warm)
+    warm.unpersist()
+
     # --- 1. KG pipeline on the synthetic corpus (distributed generation) ---
     n_conv = max(200, int(100_000 * sf))  # sf0.1 -> 10k conversations
     transcripts = synth.transcripts_df(spark, seed=42, n_conv=n_conv).cache()
