@@ -172,8 +172,13 @@ def _q_kg_lists(spark, sf_dir):
 
 
 def _q_dd_embedding(spark, sf_dir):
+    """Embedding near-dup over the corpus + injected duplicate vectors
+    (the driver embeddings are near-random: max natural cosine ~0.5)."""
     from hdtspark import dedup
-    return dedup.embedding_near_duplicates(_embeddings(spark, sf_dir), threshold=0.9)
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return dedup.embedding_near_duplicates(emb.unionAll(dups), threshold=0.99)
 
 
 def _q_mm_features(spark, sf_dir):
@@ -283,7 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash": oracles.minhash_oracle(threshold=0.7),
         "dd_ngram_jaccard": oracles.ngram_jaccard_oracle(k=5, threshold=0.5),
         **oracles.textops_oracles(),
-        "dd_embedding": oracles.embedding_dedup_oracle(threshold=0.9),
+        "dd_embedding": oracles.embedding_dedup_oracle(threshold=0.99),
         "ann_topk": oracles.ann_oracle(ANN_QUERY_IDS, k=10, bucketed=False),
         "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True),
         "mm_features": oracles.multimodal_oracle(),

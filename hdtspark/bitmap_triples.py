@@ -23,11 +23,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def adjacency(spo: DataFrame) -> DataFrame:
-    """spo(s,p,o sorted) -> adj(s, preds, obj_offsets, objs)."""
-    grouped = spo.groupBy("s").agg(
-        F.sort_array(F.collect_list(F.struct("p", "o"))).alias("po")
-    )
+def adjacency(spo: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """spo(s,p,o sorted) -> adj(s, preds, obj_offsets, objs).
+
+    ``salt_buckets``: two-phase salted aggregation for skewed subjects
+    (north-rule skew handling).  Phase 1 groups by (s, hash(p,o) % k) so a
+    hot subject's rows spread over k reducers and pre-combine into k partial
+    arrays; phase 2 merges the k arrays per subject and re-sorts.  With
+    salt_buckets=None a hot subject funnels its entire edge list through one
+    reducer task.
+    """
+    if salt_buckets:
+        partial = (
+            spo.withColumn("_salt", F.pmod(F.hash("p", "o"), F.lit(salt_buckets)))
+            .groupBy("s", "_salt")
+            .agg(F.collect_list(F.struct("p", "o")).alias("po_part"))
+        )
+        grouped = (
+            partial.groupBy("s")
+            .agg(F.sort_array(F.flatten(F.collect_list("po_part"))).alias("po"))
+        )
+    else:
+        grouped = spo.groupBy("s").agg(
+            F.sort_array(F.collect_list(F.struct("p", "o"))).alias("po")
+        )
     return grouped.select(
         "s",
         F.expr("array_distinct(transform(po, x -> x.p))").alias("preds"),

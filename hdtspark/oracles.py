@@ -239,7 +239,12 @@ def embedding_dedup_oracle(threshold: float) -> str:
               "CAST(embedding[2] > 0 AS INT) * 2 + "
               "CAST(embedding[3] > 0 AS INT)")
     return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM emb)
 SELECT l.vec_id AS a, r2.vec_id AS b, {cos} AS cosine
 FROM wb l JOIN wb r2 ON l.bucket = r2.bucket AND l.vec_id < r2.vec_id
 WHERE {cos} >= {threshold}

@@ -14,6 +14,15 @@ def test_adjacency_matches_oracle(kg, golden_oracle):
     assert got == golden_oracle.adjacency()
 
 
+def test_salted_adjacency_identical(kg, golden_oracle):
+    """The two-phase salted build produces the exact same layout."""
+    got = sorted(
+        (r["s"], list(r["preds"]), list(r["obj_offsets"]), list(r["objs"]))
+        for r in bitmap_triples.adjacency(kg.spo, salt_buckets=8).collect()
+    )
+    assert got == golden_oracle.adjacency()
+
+
 def test_adjacency_covers_all_subjects(kg):
     n_subj = kg.dict.n_shared + kg.dict.n_subjects
     assert kg.adj.count() == n_subj
