@@ -94,19 +94,27 @@ class Materializer:
         df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
 
         out = self.spark.read.parquet(os.path.join(tmp, "data"))
+        stats = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"),
+                 F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns])).alias("h"))
+            .collect()
+        )
         lineage = [
             {"partition_id": r["partition_id"], "rows_out": r["rows_out"]}
-            for r in (
-                out.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(F.count("*").alias("rows_out")).collect()
-            )
+            for r in stats
         ]
         rows = sum(p["rows_out"] for p in lineage)
+        content_h = 0
+        for r in stats:
+            content_h ^= (r["h"] or 0)
+        content_fp = f"{rows}:{content_h}"
         wall_ms = int((time.monotonic() - t0) * 1000)
         manifest = {
             "stage": stage,
             "status": "complete",
             "input_fingerprint": input_fp,
+            "content_fingerprint": content_fp,
             "rows_out": rows,
             "wall_ms": wall_ms,
             "partitions": lineage,
@@ -155,7 +163,13 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
     else:
         mat.write_stage("triples_str", None, in_fp)  # records the skip
     tri = mat.read_table("triples_str")
-    tri_fp = f"{in_fp}->triples"
+    # Downstream stage keys chain on the upstream stage's CONTENT
+    # fingerprint (recorded at write time): rebuilding an upstream stage to
+    # different bytes invalidates everything below it, while a
+    # deterministic byte-identical rebuild legitimately keeps downstream
+    # checkpoints.
+    tri_fp = mat.read_manifest("triples_str").get(
+        "content_fingerprint", f"{in_fp}->triples")
 
     if not mat.stage_complete("dict", tri_fp):
         d = build_dict(tri)
@@ -179,14 +193,15 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
         n_objects=dict_manifest["n_objects"],
     )
 
-    dict_fp = f"{tri_fp}->dict"
+    dict_fp = tri_fp + ":" + mat.read_manifest("dict").get(
+        "content_fingerprint", "dict")
     if not mat.stage_complete("spo", dict_fp):
         mat.write_stage("spo", encode.encode_triples(tri, d), dict_fp)
     else:
         mat.write_stage("spo", None, dict_fp)
     spo = mat.read_table("spo")
 
-    spo_fp = f"{dict_fp}->spo"
+    spo_fp = mat.read_manifest("spo").get("content_fingerprint", f"{dict_fp}->spo")
     for stage, builder in [
         ("ops", lambda: encode.ops_projection(spo)),
         ("pso", lambda: encode.pso_projection(spo)),

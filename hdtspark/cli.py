@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
         from .query import KG, triples_with_pattern
         mat = Materializer(spark, args.warehouse)
         m = mat.read_manifest("dict")
+        if m is None:
+            print(f"error: no built warehouse at {args.warehouse} "
+                  "(run `build` first)", file=sys.stderr)
+            spark.stop()
+            return 2
         sections = mat.read_table("dict")
         d = FourSectDict(
             shared=sections.filter("section = 'shared'").select("term", "id"),
