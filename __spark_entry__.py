@@ -181,6 +181,18 @@ def _q_dd_embedding(spark, sf_dir):
     return dedup.embedding_near_duplicates(emb.unionAll(dups), threshold=0.99)
 
 
+def _q_ev_windowed(spark, sf_dir):
+    from hdtspark import events_ops
+    return events_ops.windowed_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_ev_top_users(spark, sf_dir):
+    from hdtspark import events_ops
+    return events_ops.top_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), k=3)
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -226,6 +238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Similarity search over embeddings
         "ann_topk": _q_ann_topk,
         "ann_bucketed": _q_ann_bucketed,
+        # Event-stream analytics (batch form of the streaming aggs)
+        "ev_windowed": _q_ev_windowed,
+        "ev_top_users": _q_ev_top_users,
         # Multimodal plumbing (fake decode, real Arrow path)
         "mm_features": _q_mm_features,
     }
@@ -291,5 +306,22 @@ def oracle_sql() -> dict[str, str]:
         "dd_embedding": oracles.embedding_dedup_oracle(threshold=0.99),
         "ann_topk": oracles.ann_oracle(ANN_QUERY_IDS, k=10, bucketed=False),
         "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True),
+        "ev_windowed": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+        "ev_top_users": """
+WITH sums AS (
+  SELECT event_type, user_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, sum_cents,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY sum_cents DESC, user_id) AS rank
+FROM sums QUALIFY rank <= 3
+""",
         "mm_features": oracles.multimodal_oracle(),
     }
