@@ -193,6 +193,35 @@ def _q_ev_top_users(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"), k=3)
 
 
+def _q_export_nt(spark, sf_dir):
+    """S5 sink: the full enumeration as N-Triples lines."""
+    from hdtspark import export
+    kg = _kg(spark, sf_dir)
+    return export.nt_lines(query.ids_to_strings(kg, kg.spo))
+
+
+def _q_nt_roundtrip(spark, sf_dir):
+    """S3 source: write_nt -> read_nt -> identical enumeration."""
+    import os
+    import tempfile
+
+    from hdtspark import export, sources
+    kg = _kg(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"hdtspark_nt_rt_{os.path.basename(sf_dir.rstrip('/'))}")
+    export.write_nt(kg, path)
+    return sources.read_nt(spark, path)
+
+
+def _q_bgp(spark, sf_dir):
+    """§2.5: 2-pattern BGP (?turn mentions ?ent . ?ent type Entity)."""
+    from hdtspark import sparql
+    return sparql.bgp(_kg(spark, sf_dir), [
+        ("?turn", rules.P_MENTIONS, "?ent"),
+        ("?ent", rules.P_TYPE, rules.C_ENTITY),
+    ])
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -224,11 +253,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_q_po_subjects": _q_po_subjects,
         # Q10: multi-constant term-list matcher
         "kg_q_lists": _q_kg_lists,
+        # S5 NT sink / S3 NT source round-trip / §2.5 BGP surface
+        "kg_export_nt": _q_export_nt,
+        "kg_nt_roundtrip": _q_nt_roundtrip,
+        "kg_bgp": _q_bgp,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
         "dd_ngram_jaccard": _q_dd_ngram,
-        "dd_simhash": _q_dd_simhash,  # rows-only (bit-level, non-SQL)
+        "dd_simhash": _q_dd_simhash,
         "dd_embedding": _q_dd_embedding,
         # Text analysis
         "tx_tokens": _q_tx_tokens,
@@ -298,8 +331,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT s, p, o FROM tri WHERE p = '{rules.P_MENTIONS}' "
             f"AND o IN ('{ENT_SPARK}', '{rules.BASE}/e/sql-table')"
         ),
-        # extras (dd_simhash intentionally omitted -> rows-only check)
+        "kg_export_nt": oracles.export_nt_oracle(),
+        "kg_nt_roundtrip": k("SELECT s, p, o FROM tri"),
+        "kg_bgp": oracles.bgp_oracle(rules.P_MENTIONS, rules.P_TYPE,
+                                     rules.C_ENTITY),
         "dd_exact": oracles.exact_dedup_oracle(),
+        "dd_simhash": oracles.simhash_oracle(max_hamming=3),
         "dd_minhash": oracles.minhash_oracle(threshold=0.7),
         "dd_ngram_jaccard": oracles.ngram_jaccard_oracle(k=5, threshold=0.5),
         **oracles.textops_oracles(),
@@ -307,20 +344,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracles.ann_oracle(ANN_QUERY_IDS, k=10, bucketed=False),
         "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True),
         "ev_windowed": """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """,
         "ev_top_users": """
 WITH sums AS (
   SELECT event_type, user_id,
-         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, user_id, sum_cents,
-       row_number() OVER (PARTITION BY event_type
-                          ORDER BY sum_cents DESC, user_id) AS rank
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY sum_cents DESC, user_id) AS BIGINT) AS rank
 FROM sums QUALIFY rank <= 3
 """,
         "mm_features": oracles.multimodal_oracle(),

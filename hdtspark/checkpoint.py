@@ -30,15 +30,30 @@ from .query import KG
 MANIFEST = "_manifest.json"
 
 
-def fingerprint(df: DataFrame, cols: list[str] | None = None) -> str:
-    """Cheap order-insensitive content fingerprint: count + bit_xor of
-    xxhash64 (xor cannot overflow under ANSI mode, unlike sum)."""
-    cols = cols or df.columns
-    row = df.agg(
+def _fp_aggs(cols: list[str]) -> list:
+    """Order-insensitive, multiplicity-sensitive content-hash aggregates.
+
+    xor alone self-cancels even-multiplicity row changes (remove 2 copies of
+    A + add 2 copies of B ⇒ unchanged xor), so pair it with a wrapping SUM of
+    a second independent hash: a duplicate-count change moves the sum.  The
+    sum runs on the hash cast to DECIMAL(38,0) (no ANSI overflow at any row
+    count: 2^63 · 10^19 rows < 10^38).
+    """
+    h1 = F.xxhash64(*[F.col(c) for c in cols])
+    h2 = F.xxhash64(F.lit("fp2"), *[F.col(c) for c in cols])
+    return [
         F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("h"),
-    ).first()
-    return f"{row['n']}:{row['h']}"
+        F.bit_xor(h1).alias("h"),
+        F.sum(h2.cast("decimal(38,0)")).alias("h2"),
+    ]
+
+
+def fingerprint(df: DataFrame, cols: list[str] | None = None) -> str:
+    """Cheap order-insensitive content fingerprint: count + bit_xor(xxhash64)
+    + wrapping sum of an independent xxhash64 (see _fp_aggs)."""
+    cols = cols or df.columns
+    row = df.agg(*_fp_aggs(cols)).first()
+    return f"{row['n']}:{row['h']}:{row['h2']}"
 
 
 @dataclass
@@ -91,24 +106,35 @@ class Materializer:
         d = self._dir(stage)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
 
-        out = self.spark.read.parquet(os.path.join(tmp, "data"))
-        stats = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"),
-                 F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns])).alias("h"))
-            .collect()
-        )
-        lineage = [
-            {"partition_id": r["partition_id"], "rows_out": r["rows_out"]}
-            for r in stats
-        ]
-        rows = sum(p["rows_out"] for p in lineage)
-        content_h = 0
-        for r in stats:
-            content_h ^= (r["h"] or 0)
-        content_fp = f"{rows}:{content_h}"
+        # Content fingerprint rides the write job itself (df.observe): the
+        # stage output is scanned ONCE — round 1 re-read every stage's full
+        # output just to hash it, doubling the pipeline's I/O.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"stage:{stage}")
+        data_dir = os.path.join(tmp, "data")
+        df.observe(obs, *_fp_aggs(df.columns)) \
+            .write.mode("overwrite").parquet(data_dir)
+        got = obs.get
+        rows = got["n"]
+        content_fp = f"{rows}:{got['h']}:{got['h2']}"
+
+        # Per-partition lineage from parquet footers — metadata only, no
+        # data scan (one output file per write task).
+        lineage = []
+        try:
+            import pyarrow.parquet as pq
+
+            parts = sorted(
+                f for f in os.listdir(data_dir)
+                if f.startswith("part-") and f.endswith(".parquet"))
+            for i, fname in enumerate(parts):
+                md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
+                lineage.append({"partition_id": i, "rows_out": md.num_rows,
+                                "file": fname})
+        except Exception:  # noqa: BLE001 - lineage is advisory metadata
+            lineage = [{"partition_id": 0, "rows_out": rows}]
         wall_ms = int((time.monotonic() - t0) * 1000)
         manifest = {
             "stage": stage,
@@ -155,7 +181,12 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
     """
     mat = Materializer(spark, warehouse)
 
-    in_fp = fingerprint(transcripts, ["conv_id", "turn_idx", "text"])
+    # Fingerprint EVERY extraction-relevant column: role/tool/ts also emit
+    # triples (P_ROLE/P_TOOL/P_TS), so a change in any of them must
+    # invalidate downstream stages, not just conv_id/turn_idx/text.
+    in_fp = fingerprint(
+        transcripts, [c for c in ["conv_id", "turn_idx", "role", "text",
+                                  "tool", "ts"] if c in transcripts.columns])
 
     if not mat.stage_complete("triples_str", in_fp):
         tri = extract.extract_triples(transcripts, use_pandas_udf=use_pandas_udf)

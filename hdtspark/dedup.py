@@ -7,8 +7,9 @@ Designed for the 100 TB regime:
   search into an equi-join on (band_idx, band_value) — only colliding
   buckets are joined, and the verify step computes exact Jaccard on the
   candidate pairs only;
-- SimHash is a vectorized pandas/Arrow UDF (numpy bit ops per Arrow batch)
-  with chunk-LSH (JVM bit ops) for Hamming-neighbor candidate pairs.
+- SimHash is pure JVM builtins (md5 -> conv -> per-bit sum aggregates) with
+  chunk-LSH (JVM bit ops) for Hamming-neighbor candidate pairs — no Python
+  anywhere in the path, and the same math runs as SQL in the DuckDB oracle.
 
 Hash functions are md5-derived so DuckDB reproduces MinHash/Jaccard exactly.
 """
@@ -17,10 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 SHINGLE_K = 5
 NUM_HASHES = 8
@@ -148,21 +146,29 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.99,
                               id_col: str = "vec_id",
                               emb_col: str = "embedding") -> DataFrame:
-    """(a, b, cosine) — embedding-cosine near-dup pairs, sign-LSH pruned.
+    """(a, b, cosine) — embedding-cosine near-dup pairs, hyperplane-LSH pruned.
 
-    Candidates = pairs sharing the sign-LSH bucket (dims 1..3); exact cosine
-    (JVM aggregate/zip_with, double) verifies.  At scale the bucket is a
-    partition key, so the self-join is bucket-local.
+    Candidates = pairs sharing >=1 banded random-hyperplane signature
+    (simsearch.lsh_band_rows: integer-exact sign bits, 2 bands x 8 bits by
+    default, so unrelated pairs collide on a band with probability ~2^-8
+    instead of the 1/8 a 3-bit bucket gave); exact cosine (JVM
+    aggregate/zip_with, double) verifies candidates only.  (band_idx,
+    band_val) is the equi-join key — bucket-local self-join at scale.
     """
-    from .simsearch import _cosine_expr, bucket_expr
+    from .simsearch import _cosine_expr, lsh_band_rows
 
-    with_b = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"), bucket_expr(emb_col))
-    left = with_b.select(F.col("vid").alias("a"), F.col("emb").alias("emb_a"), "bucket")
-    right = with_b.select(F.col("vid").alias("b"), F.col("emb").alias("emb_b"), "bucket")
+    band_rows = lsh_band_rows(embeddings, id_col=id_col, emb_col=emb_col)
+    left = band_rows.select(F.col(id_col).alias("a"),
+                            F.col(emb_col).alias("emb_a"),
+                            "band_idx", "band_val")
+    right = band_rows.select(F.col(id_col).alias("b"),
+                             F.col(emb_col).alias("emb_b"),
+                             "band_idx", "band_val")
     return (
-        left.join(right, "bucket")
+        left.join(right, ["band_idx", "band_val"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "emb_a", "emb_b")
+        .dropDuplicates(["a", "b"])
         .select("a", "b", F.expr(_cosine_expr("emb_a", "emb_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
@@ -188,28 +194,40 @@ def simhash_py(text: str) -> int:
     return out
 
 
-@F.pandas_udf(LongType())
-def simhash_udf(text: pd.Series) -> pd.Series:
-    """Arrow-batched SimHash: numpy bit unpacking per doc."""
-    out = np.zeros(len(text), dtype="int64")
-    for i, t in enumerate(text):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        hs = np.array(
-            [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
-            dtype="uint64",
-        )
-        bits = ((hs[:, None] >> np.arange(SIMHASH_BITS, dtype="uint64")) & 1)
-        acc = (2 * bits.astype("int64") - 1).sum(axis=0)
-        out[i] = int(((acc > 0).astype("uint64") <<
-                      np.arange(SIMHASH_BITS, dtype="uint64")).sum())
-    return pd.Series(out)
-
-
 def simhashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) via the Arrow-batched UDF."""
-    return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+    """(doc_id, simhash) — entirely JVM-side (whole-stage codegen, no Python).
+
+    explode tokens -> md5 -> 60-bit int (conv base16) -> one groupBy with 60
+    per-bit sum() aggregates (map-side partial agg) -> bit b of the hash is
+    set iff more than half the tokens have bit b set (same math as
+    ``simhash_py``, which remains the unit-test reference).  Being pure
+    builtins, the identical computation runs as plain SQL in DuckDB — the
+    driver oracle for ``dd_simhash``.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = (
+        toks.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n"), *bit_sums)
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b)).otherwise(F.lit(0))
+    hashed = agg.select("doc_id", sim.cast("long").alias("simhash"))
+    # Token-less docs never reach the groupBy; the reference math gives 0.
+    return (
+        docs.select("doc_id").join(hashed, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -234,7 +252,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         left.join(right, ["chunk_idx", "chunk_val"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b",
-                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                .cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

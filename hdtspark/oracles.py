@@ -100,6 +100,41 @@ def kg_oracle(final_select: str) -> str:
     return kg_cte() + final_select
 
 
+_NT_LIT_RE = '^"((?s).*)"((\\^\\^<[^>]*>)|(@[A-Za-z0-9\\-]*))?$'
+
+
+def _nt_armor_sql(col: str) -> str:
+    """Independent SQL of export._armor: IRIs get <>, literal lexical forms
+    are NT-escaped (backslash first), blank nodes pass through."""
+    lex = f"regexp_extract({col}, '{_NT_LIT_RE}', 1)"
+    suf = f"regexp_extract({col}, '{_NT_LIT_RE}', 2)"
+    esc = (f"replace(replace(replace(replace(replace({lex}, "
+           "'\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), "
+           "chr(13), '\\r'), chr(9), '\\t')")
+    return (f"CASE WHEN substr({col}, 1, 1) = '\"' "
+            f"THEN '\"' || {esc} || '\"' || {suf} "
+            f"WHEN substr({col}, 1, 1) = '_' THEN {col} "
+            f"ELSE '<' || {col} || '>' END")
+
+
+def export_nt_oracle() -> str:
+    """One N-Triples line per SPO triple (S5 export, ref src/hdt.rs:92-98)."""
+    return kg_oracle(
+        f"SELECT {_nt_armor_sql('s')} || ' ' || {_nt_armor_sql('p')} || ' ' "
+        f"|| {_nt_armor_sql('o')} || ' .' AS value FROM tri"
+    )
+
+
+def bgp_oracle(p_mentions: str, p_type: str, c_entity: str) -> str:
+    """Two-pattern BGP join through ?ent (ref src/sparql.rs:114-120)."""
+    return kg_oracle(
+        f"SELECT t1.o AS ent, t1.s AS turn FROM tri t1 "
+        f"JOIN tri t2 ON t2.s = t1.o "
+        f"WHERE t1.p = '{p_mentions}' AND t2.p = '{p_type}' "
+        f"AND t2.o = '{c_entity}'"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline extras (dedup / text analysis / ANN / multimodal)
 # ---------------------------------------------------------------------------
@@ -185,6 +220,51 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 4) >= {
 """
 
 
+def simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
+    """Independent SQL re-implementation of SimHash + chunk-LSH pairing.
+
+    Same public math as hdtspark.dedup.simhashes/simhash_near_pairs: 60-bit
+    md5-derived token hashes, majority vote per bit, 4x15-bit chunk LSH,
+    exact Hamming via bit_count(xor).
+    """
+    bit_sums = ", ".join(f"SUM((h >> {b}) & 1) AS b{b}" for b in range(bits))
+    sim_expr = " + ".join(
+        f"CASE WHEN 2 * b{b} > n THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH {DD_DOCS.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x != '')) AS tok
+  FROM dd_docs
+),
+h AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM toks
+),
+bitsums AS (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM h GROUP BY doc_id),
+sh0 AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bitsums),
+sh AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM (SELECT doc_id FROM dd_docs) d LEFT JOIN sh0 s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         (simhash >> (c * 15)) & 32767 AS chunk_val
+  FROM sh, unnest([0, 1, 2, 3]) AS t(c)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r2.doc_id AS b,
+         CAST(bit_count(xor(l.simhash, r2.simhash)) AS BIGINT) AS hamming
+  FROM chunks l JOIN chunks r2
+    ON l.chunk_idx = r2.chunk_idx AND l.chunk_val = r2.chunk_val
+   AND l.doc_id < r2.doc_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def exact_dedup_oracle() -> str:
     return f"""
 WITH {DD_DOCS.strip()}
@@ -197,24 +277,60 @@ def _dot(a: str, b: str) -> str:
     return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
+def _plane_dot_duck(col: str, w: list[int], quant: int) -> str:
+    """Exact integer plane dot: explicit term sum (order-free, no floats)."""
+    return " + ".join(
+        f"CAST(round({col}[{i + 1}] * {quant}) AS BIGINT) * ({w[i]})"
+        for i in range(len(w)))
+
+
+def _band_exprs_duck(col: str = "embedding") -> list[str]:
+    """One packed-int expression per LSH band, same planes as simsearch."""
+    from .simsearch import LSH_BANDS, LSH_BITS, LSH_DIM, LSH_QUANT, hyperplanes
+
+    planes = hyperplanes(LSH_BANDS * LSH_BITS, LSH_DIM)
+    out = []
+    for b in range(LSH_BANDS):
+        out.append(" + ".join(
+            f"(CASE WHEN ({_plane_dot_duck(col, planes[b * LSH_BITS + i], LSH_QUANT)})"
+            f" > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)))
+    return out
+
+
+def _bands_cte(src: str) -> str:
+    """bands(vec_id, band_idx, band_val) over ``src(vec_id, embedding)``."""
+    exprs = _band_exprs_duck()
+    rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, band_{b} AS band_val FROM wb"
+        for b in range(len(exprs)))
+    cols = ", ".join(f"{e} AS band_{b}" for b, e in enumerate(exprs))
+    return f"wb AS (SELECT vec_id, embedding, {cols} FROM {src}),\nbands AS ({rows})"
+
+
 def ann_oracle(query_ids: list[int], k: int, bucketed: bool) -> str:
     qids = ", ".join(str(q) for q in query_ids)
     cos = (f"round({_dot('q.embedding', 'e.embedding')} / "
            f"(sqrt({_dot('q.embedding', 'q.embedding')}) * "
            f"sqrt({_dot('e.embedding', 'e.embedding')})), 4)")
-    bucket = ("CAST(embedding[1] > 0 AS INT) * 4 + "
-              "CAST(embedding[2] > 0 AS INT) * 2 + "
-              "CAST(embedding[3] > 0 AS INT)")
     if bucketed:
         return f"""
-WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding, bucket FROM wb WHERE vec_id IN ({qids})),
+WITH {_bands_cte('embeddings')},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, eb.vec_id
+  FROM bands qb JOIN bands eb
+    ON qb.band_idx = eb.band_idx AND qb.band_val = eb.band_val
+  WHERE qb.vec_id IN ({qids}) AND eb.vec_id != qb.vec_id
+),
 scored AS (
-  SELECT q.query_id, e.vec_id, {cos} AS score
-  FROM wb e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.query_id
+  SELECT c.query_id, c.vec_id, {cos} AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
 )
 SELECT query_id, vec_id, score,
-       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= {k}
 """
@@ -225,7 +341,8 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id != q.query_id
 )
 SELECT query_id, vec_id, score,
-       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= {k}
 """
@@ -235,18 +352,23 @@ def embedding_dedup_oracle(threshold: float) -> str:
     cos = (f"round({_dot('l.embedding', 'r2.embedding')} / "
            f"(sqrt({_dot('l.embedding', 'l.embedding')}) * "
            f"sqrt({_dot('r2.embedding', 'r2.embedding')})), 4)")
-    bucket = ("CAST(embedding[1] > 0 AS INT) * 4 + "
-              "CAST(embedding[2] > 0 AS INT) * 2 + "
-              "CAST(embedding[3] > 0 AS INT)")
     return f"""
 WITH emb AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
 ),
-wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM emb)
-SELECT l.vec_id AS a, r2.vec_id AS b, {cos} AS cosine
-FROM wb l JOIN wb r2 ON l.bucket = r2.bucket AND l.vec_id < r2.vec_id
+{_bands_cte('emb')},
+cand AS (
+  SELECT DISTINCT lb.vec_id AS a, rb.vec_id AS b
+  FROM bands lb JOIN bands rb
+    ON lb.band_idx = rb.band_idx AND lb.band_val = rb.band_val
+  WHERE lb.vec_id < rb.vec_id
+)
+SELECT c.a, c.b, {cos} AS cosine
+FROM cand c
+JOIN emb l ON l.vec_id = c.a
+JOIN emb r2 ON r2.vec_id = c.b
 WHERE {cos} >= {threshold}
 """
 

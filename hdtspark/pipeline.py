@@ -17,6 +17,18 @@ def build_kg(transcripts: DataFrame, use_pandas_udf: bool = True,
              cache: bool = True, with_adjacency: bool = True) -> KG:
     """Run extract -> dict -> encode -> projections (+ adjacency)."""
     triples_str = extract.extract_triples(transcripts, use_pandas_udf=use_pandas_udf)
+    return build_kg_from_triples(triples_str, cache=cache,
+                                 with_adjacency=with_adjacency)
+
+
+def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
+                          with_adjacency: bool = True) -> KG:
+    """dict -> encode -> projections over pre-extracted (s, p, o) strings.
+
+    The entry point for non-transcript sources — e.g. an N-Triples file via
+    sources.read_nt (the reference's Hdt::read_nt conversion path,
+    src/nt.rs:28-43).
+    """
     if cache:
         # Raw triples feed the dictionary term-agg and the encode joins;
         # DISK_ONLY persist lands on spark.local.dir (tmpfs in local mode,

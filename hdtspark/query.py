@@ -137,20 +137,23 @@ def triples_matching(kg: KG, s_terms: list[str] | None = None,
     if (s_terms and not sids) or (p_terms and not pids) or (o_terms and not oids):
         return _empty_result(kg.spo.sparkSession)
 
-    # Route to the projection matching the most selective single-bound slot.
+    # Route to the projection matching the most selective single-bound slot;
+    # EVERY other bound slot (singleton or list) remains a residual isin
+    # filter — dropping a non-routed singleton returns wrong supersets.
+    routed = None
     if sids and len(sids) == 1:
-        df = kg.spo.filter(F.col("s") == sids[0])
+        df, routed = kg.spo.filter(F.col("s") == sids[0]), "s"
     elif oids and len(oids) == 1:
-        df = kg.ops.filter(F.col("o") == oids[0])
+        df, routed = kg.ops.filter(F.col("o") == oids[0]), "o"
     elif pids and len(pids) == 1:
-        df = kg.pso.filter(F.col("p") == pids[0])
+        df, routed = kg.pso.filter(F.col("p") == pids[0]), "p"
     else:
         df = kg.spo
-    if sids and len(sids) > 1:
+    if sids and routed != "s":
         df = df.filter(F.col("s").isin(sids))
-    if pids and len(pids) > 1:
+    if pids and routed != "p":
         df = df.filter(F.col("p").isin(pids))
-    if oids and len(oids) > 1:
+    if oids and routed != "o":
         df = df.filter(F.col("o").isin(oids))
     return ids_to_strings(kg, df.select("s", "p", "o"))
 

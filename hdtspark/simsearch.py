@@ -3,10 +3,18 @@
 - ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
   set against all vectors; the dot product is a JVM higher-order
   ``aggregate(zip_with(...))`` in double precision (no Python in the loop).
-- ``bucketed_topk``: the scale path — sign-LSH buckets on fixed dimensions
-  prune candidates to the query's bucket before scoring (an IVF-style
-  coarse quantizer; at 100 TB the bucket id is a partition key so a query
-  touches one partition instead of the full corpus).
+- ``bucketed_topk``: the scale path — banded random-hyperplane (sign) LSH
+  prunes candidates to vectors sharing at least one band with the query
+  before exact scoring.  With ``bits`` hyperplanes per band an unrelated
+  pair collides on a band with probability ~2^-bits, so candidate sets —
+  and the per-query scan — shrink geometrically with the signature width
+  instead of staying a fixed 1/8 of the corpus (the round-1 weakness).
+
+Hyperplane signs use EXACT integer arithmetic: embeddings are quantized to
+``round(x * 10000)`` (bigint) and hyperplane components are small seeded
+integers, so the dot-product sign is bit-identical in any engine and any
+summation order — float dots could straddle 0 differently between Spark's
+left-fold and DuckDB's list_sum and silently desynchronize the buckets.
 
 Scores are rounded to 4 decimals and ranked (rounded score desc, vec_id asc)
 so results are deterministic and engine-portable for the DuckDB oracle.
@@ -14,12 +22,20 @@ so results are deterministic and engine-portable for the DuckDB oracle.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
     "cast(0.0 as double), (acc, v) -> acc + v)"
 )
+
+LSH_SEED = 0x5EED
+LSH_QUANT = 10000
+LSH_BANDS = 2
+LSH_BITS = 8
+LSH_DIM = 64
 
 
 def _cosine_expr(a: str, b: str) -> str:
@@ -45,38 +61,90 @@ def brute_force_topk(embeddings: DataFrame, query_ids: list[int],
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
 
-def bucket_expr(col: str = "embedding") -> F.Column:
-    """Sign-LSH bucket from dims 1..3 (1-indexed): 3 bits -> 0..7."""
+def hyperplanes(n_planes: int, dim: int = LSH_DIM,
+                seed: int = LSH_SEED) -> list[list[int]]:
+    """Seeded random hyperplanes with small nonzero integer components.
+
+    Shared by the Spark operators and the DuckDB oracle generator so both
+    engines hash with the SAME planes.
+    """
+    rng = random.Random(seed)
+    return [[rng.choice([-3, -2, -1, 1, 2, 3]) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def _plane_dot_sql(col: str, w: list[int]) -> str:
+    """Spark SQL: exact integer dot of quantized embedding with plane w."""
+    arr = ", ".join(f"{x}L" for x in w)
     return (
-        (F.element_at(col, 1) > 0).cast("int") * 4
-        + (F.element_at(col, 2) > 0).cast("int") * 2
-        + (F.element_at(col, 3) > 0).cast("int")
-    ).alias("bucket")
+        f"aggregate(zip_with({col}, array({arr}), "
+        f"(x, w) -> cast(round(cast(x as double) * {LSH_QUANT}) as bigint) * w), "
+        f"cast(0 as bigint), (a, v) -> a + v)"
+    )
 
 
-def bucketed_topk(embeddings: DataFrame, query_ids: list[int],
-                  k: int = 5) -> DataFrame:
-    """(query_id, vec_id, score, rank) — ANN: score only the query's bucket."""
-    with_b = embeddings.select("vec_id", "embedding", bucket_expr())
+def band_cols(col: str = "embedding", bands: int = LSH_BANDS,
+              bits: int = LSH_BITS, dim: int = LSH_DIM,
+              seed: int = LSH_SEED) -> list[F.Column]:
+    """One int column per band: ``bits`` hyperplane signs packed to an int."""
+    planes = hyperplanes(bands * bits, dim, seed)
+    cols = []
+    for b in range(bands):
+        expr = " + ".join(
+            f"(CASE WHEN ({_plane_dot_sql(col, planes[b * bits + i])}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(bits))
+        cols.append(F.expr(expr).cast("int").alias(f"band_{b}"))
+    return cols
+
+
+def lsh_band_rows(embeddings: DataFrame, id_col: str = "vec_id",
+                  emb_col: str = "embedding", bands: int = LSH_BANDS,
+                  bits: int = LSH_BITS, dim: int = LSH_DIM) -> DataFrame:
+    """(id, emb, band_idx, band_val) — one row per (vector, band)."""
+    wb = embeddings.select(F.col(id_col), F.col(emb_col),
+                           *band_cols(emb_col, bands, bits, dim))
+    rows = [F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band_{b}").alias("band_val"))
+            for b in range(bands)]
+    return (
+        wb.select(id_col, emb_col, F.explode(F.array(*rows)).alias("bd"))
+        .select(id_col, emb_col, "bd.band_idx", "bd.band_val")
+    )
+
+
+def bucketed_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                  bands: int = LSH_BANDS, bits: int = LSH_BITS,
+                  dim: int = LSH_DIM) -> DataFrame:
+    """(query_id, vec_id, score, rank) — ANN over banded-LSH candidates.
+
+    Candidates = vectors sharing >=1 band signature with the query; exact
+    cosine scores only those.  (band_idx, band_val) is the shuffle key, so
+    at scale a query touches the few matching buckets, not the corpus.
+    """
+    band_rows = lsh_band_rows(embeddings, bands=bands, bits=bits, dim=dim)
     q = (
-        with_b.filter(F.col("vec_id").isin(query_ids))
+        band_rows.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("q_emb"), "bucket")
+                F.col("embedding").alias("q_emb"), "band_idx", "band_val")
     )
-    scored = (
-        with_b.join(F.broadcast(q), "bucket")
+    cands = (
+        band_rows.join(F.broadcast(q), ["band_idx", "band_val"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id",
-                F.expr(_cosine_expr("q_emb", "embedding")).alias("score"))
+        .select("query_id", "vec_id", "q_emb", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
     )
+    scored = cands.select(
+        "query_id", "vec_id",
+        F.expr(_cosine_expr("q_emb", "embedding")).alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

@@ -149,14 +149,33 @@ def test_brute_force_topk_matches_numpy(embeddings):
     assert got == expected
 
 
-def test_bucketed_topk_subset_of_bucket(embeddings):
-    res = simsearch.bucketed_topk(embeddings, [0], k=5).collect()
-    buckets = {r["vec_id"]: r["bucket"]
-               for r in embeddings.select("vec_id", simsearch.bucket_expr()).collect()}
-    qb = buckets[0]
+def test_bucketed_topk_candidates_share_band(embeddings):
+    res = simsearch.bucketed_topk(embeddings, [0], k=5, bands=2, bits=2, dim=8).collect()
+    sigs: dict[int, set] = {}
+    rows = simsearch.lsh_band_rows(embeddings, bands=2, bits=2, dim=8).collect()
+    for r in rows:
+        sigs.setdefault(r["vec_id"], set()).add((r["band_idx"], r["band_val"]))
     assert res
     for r in res:
-        assert buckets[r["vec_id"]] == qb
+        assert sigs[r["vec_id"]] & sigs[0], r["vec_id"]
+
+
+def test_lsh_candidate_fraction_shrinks_with_bits(embeddings):
+    """More hyperplane bits per band => geometrically fewer candidate pairs
+    (the round-1 3-bit bucket kept a constant 1/8 of the corpus)."""
+    n = embeddings.count()
+    total_pairs = n * (n - 1) / 2
+
+    def pair_count(bits: int) -> int:
+        rows = simsearch.lsh_band_rows(embeddings, bands=1, bits=bits, dim=8)
+        l = rows.selectExpr("vec_id AS a", "band_idx", "band_val")
+        r = rows.selectExpr("vec_id AS b", "band_idx", "band_val")
+        return (l.join(r, ["band_idx", "band_val"]).filter("a < b")
+                .select("a", "b").distinct().count())
+
+    few_bits, many_bits = pair_count(1), pair_count(6)
+    assert many_bits < few_bits
+    assert many_bits / total_pairs < 0.35  # random dim-8 vectors, 6 sign bits
 
 
 def test_multimodal_features(docs):
