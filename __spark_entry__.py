@@ -213,6 +213,20 @@ def _q_nt_roundtrip(spark, sf_dir):
     return sources.read_nt(spark, path)
 
 
+def _q_hdt_roundtrip(spark, sf_dir):
+    """S1+S2: KG -> HDT binary file -> KG -> identical string enumeration."""
+    import os
+    import tempfile
+
+    from hdtspark import hdt_binary
+    kg = _kg(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"hdtspark_hdt_rt_{os.path.basename(sf_dir.rstrip('/'))}.hdt")
+    hdt_binary.write_hdt_file(kg, path)
+    kg2 = hdt_binary.read_hdt_spark(spark, path)
+    return query.ids_to_strings(kg2, kg2.spo)
+
+
 def _q_bgp(spark, sf_dir):
     """§2.5: 2-pattern BGP (?turn mentions ?ent . ?ent type Entity)."""
     from hdtspark import sparql
@@ -256,6 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5 NT sink / S3 NT source round-trip / §2.5 BGP surface
         "kg_export_nt": _q_export_nt,
         "kg_nt_roundtrip": _q_nt_roundtrip,
+        # S1/S2 HDT-binary source+sink round-trip
+        "kg_hdt_roundtrip": _q_hdt_roundtrip,
         "kg_bgp": _q_bgp,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
@@ -333,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_export_nt": oracles.export_nt_oracle(),
         "kg_nt_roundtrip": k("SELECT s, p, o FROM tri"),
+        "kg_hdt_roundtrip": k("SELECT s, p, o FROM tri"),
         "kg_bgp": oracles.bgp_oracle(rules.P_MENTIONS, rules.P_TYPE,
                                      rules.C_ENTITY),
         "dd_exact": oracles.exact_dedup_oracle(),

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def adjacency(spo: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+SKEW_DEGREE_THRESHOLD = 100_000
+DEFAULT_SALT_BUCKETS = 16
+
+
+def adjacency(spo: DataFrame, salt_buckets: int | str | None = "auto",
+              skew_threshold: int = SKEW_DEGREE_THRESHOLD) -> DataFrame:
     """spo(s,p,o sorted) -> adj(s, preds, obj_offsets, objs).
 
     ``salt_buckets``: two-phase salted aggregation for skewed subjects
@@ -31,8 +36,16 @@ def adjacency(spo: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     hot subject's rows spread over k reducers and pre-combine into k partial
     arrays; phase 2 merges the k arrays per subject and re-sorts.  With
     salt_buckets=None a hot subject funnels its entire edge list through one
-    reducer task.
+    reducer task — so the DEFAULT is "auto": estimate the max subject degree
+    with one map-side-combined agg (cheap next to the adjacency build
+    itself) and salt whenever it exceeds ``skew_threshold``.
     """
+    if salt_buckets == "auto":
+        max_deg = (
+            spo.groupBy("s").agg(F.count("*").alias("d"))
+            .agg(F.max("d").alias("m")).first()["m"]
+        ) or 0
+        salt_buckets = DEFAULT_SALT_BUCKETS if max_deg > skew_threshold else None
     if salt_buckets:
         partial = (
             spo.withColumn("_salt", F.pmod(F.hash("p", "o"), F.lit(salt_buckets)))

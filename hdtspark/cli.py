@@ -5,10 +5,13 @@ Usage (cluster):
     spark-submit --py-files dist/hdtspark.zip cli_main.py <cmd> ...
 
 Subcommands:
-    synth   --n-conv N --out DIR              generate a transcript corpus
-    build   --input DIR --warehouse DIR       (resumable) KG materialization
-    query   --warehouse DIR [-s S] [-p P] [-o O] [--limit N]
-    info    --warehouse DIR                   VOID stats + stage manifests
+    synth      --n-conv N --out DIR           generate a transcript corpus
+    build      --input DIR --warehouse DIR    (resumable) KG materialization
+    query      --warehouse DIR [-s S] [-p P] [-o O] [--limit N]
+    info       --warehouse DIR                VOID stats + stage manifests
+    export-hdt --warehouse DIR --out F.hdt    HDT binary writer (S2)
+    import-hdt --input F.hdt --warehouse DIR  HDT binary reader (S1)
+    export-nt  --warehouse DIR --out DIR      N-Triples writer (S5)
 """
 
 from __future__ import annotations
@@ -16,6 +19,27 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+
+def _load_kg(mat):
+    """Warehouse stages -> KG, or None if the warehouse was never built."""
+    from .dict_builder import FourSectDict
+    from .query import KG
+
+    m = mat.read_manifest("dict")
+    if m is None:
+        return None
+    sections = mat.read_table("dict")
+    d = FourSectDict(
+        shared=sections.filter("section = 'shared'").select("term", "id"),
+        subjects=sections.filter("section = 'subjects'").select("term", "id"),
+        predicates=sections.filter("section = 'predicates'").select("term", "id"),
+        objects=sections.filter("section = 'objects'").select("term", "id"),
+        n_shared=m["n_shared"], n_subjects=m["n_subjects"],
+        n_predicates=m["n_predicates"], n_objects=m["n_objects"],
+    )
+    return KG(dict=d, spo=mat.read_table("spo"), ops=mat.read_table("ops"),
+              pso=mat.read_table("pso"))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -42,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
     p_info = sub.add_parser("info")
     p_info.add_argument("--warehouse", required=True)
 
+    p_xhdt = sub.add_parser("export-hdt")
+    p_xhdt.add_argument("--warehouse", required=True)
+    p_xhdt.add_argument("--out", required=True)
+
+    p_ihdt = sub.add_parser("import-hdt")
+    p_ihdt.add_argument("--input", required=True)
+    p_ihdt.add_argument("--warehouse", required=True)
+
+    p_xnt = sub.add_parser("export-nt")
+    p_xnt.add_argument("--warehouse", required=True)
+    p_xnt.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -67,29 +103,56 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "query":
         from .checkpoint import Materializer
-        from .dict_builder import FourSectDict
-        from .query import KG, triples_with_pattern
-        mat = Materializer(spark, args.warehouse)
-        m = mat.read_manifest("dict")
-        if m is None:
+        from .query import triples_with_pattern
+        kg = _load_kg(Materializer(spark, args.warehouse))
+        if kg is None:
             print(f"error: no built warehouse at {args.warehouse} "
                   "(run `build` first)", file=sys.stderr)
             spark.stop()
             return 2
-        sections = mat.read_table("dict")
-        d = FourSectDict(
-            shared=sections.filter("section = 'shared'").select("term", "id"),
-            subjects=sections.filter("section = 'subjects'").select("term", "id"),
-            predicates=sections.filter("section = 'predicates'").select("term", "id"),
-            objects=sections.filter("section = 'objects'").select("term", "id"),
-            n_shared=m["n_shared"], n_subjects=m["n_subjects"],
-            n_predicates=m["n_predicates"], n_objects=m["n_objects"],
-        )
-        kg = KG(dict=d, spo=mat.read_table("spo"), ops=mat.read_table("ops"),
-                pso=mat.read_table("pso"))
         res = triples_with_pattern(kg, args.s, args.p, args.o)
         for row in res.limit(args.limit).collect():
             print(f"{row['s']} {row['p']} {row['o']} .")
+
+    elif args.cmd in ("export-hdt", "export-nt"):
+        from .checkpoint import Materializer
+        kg = _load_kg(Materializer(spark, args.warehouse))
+        if kg is None:
+            print(f"error: no built warehouse at {args.warehouse} "
+                  "(run `build` first)", file=sys.stderr)
+            spark.stop()
+            return 2
+        if args.cmd == "export-hdt":
+            from .hdt_binary import write_hdt_file
+            write_hdt_file(kg, args.out)
+            n = kg.spo.count()
+        else:
+            from .export import write_nt
+            write_nt(kg, args.out)
+            n = spark.read.text(args.out).count()
+        print(json.dumps({"written": args.out, "triples": n}))
+
+    elif args.cmd == "import-hdt":
+        import hashlib
+
+        from .checkpoint import Materializer
+        from .hdt_binary import read_hdt_spark
+        kg = read_hdt_spark(spark, args.input)
+        with open(args.input, "rb") as f:
+            in_fp = "hdt:" + hashlib.md5(f.read()).hexdigest()
+        mat = Materializer(spark, args.warehouse)
+        mat.write_stage(
+            "dict", kg.dict.sections_df(), in_fp,
+            extra={"n_shared": kg.dict.n_shared,
+                   "n_subjects": kg.dict.n_subjects,
+                   "n_predicates": kg.dict.n_predicates,
+                   "n_objects": kg.dict.n_objects})
+        mat.write_stage("spo", kg.spo, in_fp)
+        mat.write_stage("ops", kg.ops, in_fp)
+        mat.write_stage("pso", kg.pso, in_fp)
+        print(json.dumps({
+            "stages": [{"stage": r.name, "skipped": r.skipped,
+                        "rows": r.rows} for r in mat.results]}))
 
     elif args.cmd == "info":
         from .checkpoint import Materializer

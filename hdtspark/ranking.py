@@ -4,19 +4,19 @@ The reference assigns IDs as ``1 + rank of the term in the lexicographically
 sorted section`` (reference src/dict_sect_pfc.rs:116,126 — BTreeSet order).
 A naive ``row_number().over(Window.orderBy(term))`` pulls the whole section
 into ONE partition — unusable at 100 TB.  This module implements the
-zipWithIndex-equivalent two-phase pattern the north rule asks for:
+zipWithIndex-equivalent as a PURELY JVM pipeline (round 1 used a
+``mapInPandas`` rank pass, putting Python/Arrow on the build's critical
+path; this version has no Python stage and nothing to persist):
 
-1. ``repartitionByRange(col)`` + ``sortWithinPartitions(col)`` — a global
-   range-sort (Spark samples boundaries; partitions are ordered).
-2. One Arrow-batched ``mapInPandas`` pass attaches (partition_id,
-   local_rank) — a running counter per partition, no shuffle.
-3. Per-partition counts (a tiny agg over step 2's output) are turned into
-   cumulative offsets on the driver (#partitions rows, not #terms) and
-   broadcast-joined back: ``id = offset[pid] + local_rank + 1``.
-
-The intermediate is persisted so the counts job and the final job see the
-SAME range boundaries (range partitioning samples its input; recomputation
-could re-sample differently).
+1. ONE bounded driver-side sample picks range boundaries that are embedded
+   as LITERALS, so a row's bucket is a deterministic pure function of its
+   sort key.  (``repartitionByRange`` re-samples per job — two jobs sharing
+   its output can silently disagree, which is why round 1 had to persist
+   the ranked intermediate and never unpersist it.)
+2. Per-bucket counts (one map-side-combined agg, ~#buckets rows to the
+   driver) become cumulative offsets, broadcast back.
+3. ``row_number()`` windowed BY BUCKET (each bucket ~N/B rows — never a
+   global single-partition window); id = offset[bucket] + local rank.
 
 Spark's UTF8 binary string ordering == Rust ``str`` byte order == Python
 ``str`` code-point order for valid UTF-8, so IDs match the oracle exactly
@@ -25,8 +25,53 @@ Spark's UTF8 binary string ordering == Rust ``str`` byte order == Python
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+SAMPLE_PER_BUCKET = 64
+_SEED = 42
+
+
+def _lex_ge(cols: list[str], values: list) -> F.Column:
+    """(col_1..col_k) >= (v_1..v_k) lexicographically."""
+    cond = F.col(cols[-1]) >= F.lit(values[-1])
+    for c, v in zip(reversed(cols[:-1]), reversed(values[:-1])):
+        cond = (F.col(c) > F.lit(v)) | ((F.col(c) == F.lit(v)) & cond)
+    return cond
+
+
+def range_bucket(df: DataFrame, cols: list[str],
+                 n_buckets: int | None = None) -> F.Column:
+    """Deterministic, order-preserving bucket id for ``cols``.
+
+    Boundaries come from one bounded sample (n_buckets * SAMPLE_PER_BUCKET
+    rows collected); the returned Column is a pure function of the key, so
+    every job that evaluates it agrees — no persist, no re-sampling hazard.
+    """
+    spark = df.sparkSession
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cnt = df.count()
+    if cnt == 0:
+        return F.lit(0)
+    frac = min(1.0, (n * SAMPLE_PER_BUCKET) / cnt)
+    keys = sorted(tuple(r) for r in
+                  df.select(*cols).sample(False, frac, seed=_SEED).collect())
+    bounds: list[tuple] = []
+    if keys:
+        step = max(1, len(keys) // n)
+        bounds = sorted({keys[i] for i in range(step, len(keys), step)})
+    bucket = F.lit(0)
+    for t in bounds:
+        bucket = bucket + _lex_ge(cols, list(t)).cast("int")
+    return bucket
+
+
+def _offsets_df(spark, counts, key_fields: str):
+    rows, acc = [], 0
+    for key, cnt in counts:
+        rows.append((*key, acc))
+        acc += cnt
+    return spark.createDataFrame(rows or [tuple([0] * (key_fields.count(",") + 1))],
+                                 key_fields + ", _off long"), acc
 
 
 def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None,
@@ -36,103 +81,59 @@ def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None,
     ``df`` must have distinct, non-null values of ``col``.
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    ranged = df.select(col).repartitionByRange(n, F.col(col)).sortWithinPartitions(col)
-
-    out_schema = f"{col} string, _pid int, _rank long"
-
-    def attach_rank(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_pid"] = pid
-            pdf["_rank"] = range(seen, seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    ranked = ranged.mapInPandas(attach_rank, schema=out_schema)
-    ranked.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Tiny: one row per partition.
-    counts = (
-        ranked.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
-    )
-    offsets = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_cnt"]
-
-    offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid int, _off long",
-    )
+    wb = df.select(col, range_bucket(df, [col], num_partitions).alias("_b"))
+    counts = sorted(
+        (r["_b"], r["_cnt"]) for r in
+        wb.groupBy("_b").agg(F.count("*").alias("_cnt")).collect())
+    offsets, _ = _offsets_df(spark, [((b,), c) for b, c in counts], "_b int")
+    w = Window.partitionBy("_b").orderBy(col)
     return (
-        ranked.join(F.broadcast(offsets_df), "_pid")
-        .select(col, (F.col("_off") + F.col("_rank") + 1).alias(id_col))
+        wb.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(offsets), "_b")
+        .select(col, (F.col("_off") + F.col("_rn")).alias(id_col))
     )
 
 
 def dense_ids_grouped(df: DataFrame, group_col: str, col: str,
                       num_partitions: int | None = None,
                       id_col: str = "id") -> tuple[DataFrame, dict[str, int]]:
-    """Per-group dense 1-based IDs by global sort order, ONE two-phase pass.
+    """Per-group dense 1-based IDs by global sort order, one bucketed pass.
 
     Input: (group_col, col) distinct rows.  Output: (group_col, col, id_col)
     where id = 1 + rank of col within its group's global sort order, plus a
     {group: count} dict (free — derived from the offsets aggregation, saving
     one count() job per group).
 
-    Used to build all four dictionary sections in a single ranged shuffle
+    Used to build all four dictionary sections in a single bucketed shuffle
     instead of four (reference builds its four sections on four threads,
-    src/nt.rs:240-266 — this is the Spark analog).
+    src/nt.rs:240-266 — this is the Spark analog).  The window partitions on
+    (bucket, group) — satisfied by the bucket hash exchange (subset rule),
+    so no second shuffle and no per-group single-reducer hotspot.
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucket = range_bucket(df, [group_col, col], num_partitions)
+    wb = df.select(group_col, col, bucket.alias("_b"))
+    raw = wb.groupBy("_b", group_col).agg(F.count("*").alias("_cnt")).collect()
 
-    ranged = df.select(group_col, col).repartitionByRange(
-        n, F.col(group_col), F.col(col)).sortWithinPartitions(group_col, col)
-
-    out_schema = f"{group_col} string, {col} string, _pid int, _rank long"
-
-    def attach_rank(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        carry: dict[str, int] = {}
-        for pdf in batches:
-            pdf = pdf.copy()
-            base = pdf.groupby(group_col).cumcount()
-            pdf["_rank"] = base + pdf[group_col].map(lambda g: carry.get(g, 0))
-            pdf["_pid"] = pid
-            for g, c in pdf[group_col].value_counts().items():
-                carry[g] = carry.get(g, 0) + int(c)
-            yield pdf
-
-    ranked = ranged.mapInPandas(attach_rank, schema=out_schema)
-    ranked.persist(StorageLevel.MEMORY_AND_DISK)
-
-    counts = (
-        ranked.groupBy("_pid", group_col).agg(F.count("*").alias("_cnt")).collect()
-    )
-    offsets: dict[tuple[int, str], int] = {}
     totals: dict[str, int] = {}
-    for row in sorted(counts, key=lambda r: (r[group_col], r["_pid"])):
-        g = row[group_col]
-        offsets[(row["_pid"], g)] = totals.get(g, 0)
-        totals[g] = totals.get(g, 0) + row["_cnt"]
-
+    rows = []
+    # offsets walk buckets in order per group: off = #rows of g in buckets < b
+    for r in sorted(raw, key=lambda r: (r[group_col], r["_b"])):
+        g = r[group_col]
+        rows.append(((r["_b"], g), r["_cnt"]))
+        totals[g] = totals.get(g, 0) + r["_cnt"]
+    offsets, acc = [], {}
+    for (b, g), cnt in rows:
+        offsets.append((b, g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + cnt
     offsets_df = spark.createDataFrame(
-        [(pid, g, off) for (pid, g), off in offsets.items()] or [(0, "", 0)],
-        f"_pid int, {group_col} string, _off long",
-    )
+        offsets or [(0, "", 0)], f"_b int, {group_col} string, _off long")
+
+    w = Window.partitionBy("_b", group_col).orderBy(col)
     out = (
-        ranked.join(F.broadcast(offsets_df), ["_pid", group_col])
-        .select(group_col, col, (F.col("_off") + F.col("_rank") + 1).alias(id_col))
+        wb.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(offsets_df), ["_b", group_col])
+        .select(group_col, col, (F.col("_off") + F.col("_rn")).alias(id_col))
     )
     return out, totals
 
@@ -141,48 +142,22 @@ def cumulative_sum(df: DataFrame, order_cols: list[str], weight_col: str,
                    out_col: str = "cum", num_partitions: int | None = None) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` in global ``order_cols`` order.
 
-    Same two-phase pattern as dense_ids (range-partition + in-partition scan
-    + per-partition totals broadcast back) — never a single-partition global
-    window.  Returns df's columns plus ``out_col``.
+    Same bucketed pattern as dense_ids (per-bucket totals broadcast back +
+    an in-bucket running window) — never a single-partition global window.
+    Returns df's columns plus ``out_col``.
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]) \
-               .sortWithinPartitions(*order_cols)
-
-    from pyspark.sql.types import StructType
-
-    out_schema = StructType(list(ranged.schema.fields)).add("_pid", "integer").add("_local", "long")
-
-    def attach(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        acc = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            w = pdf[weight_col].astype("int64")
-            pdf["_pid"] = pid
-            pdf["_local"] = w.cumsum().shift(fill_value=0) + acc
-            acc += int(w.sum())
-            yield pdf
-
-    ranked = ranged.mapInPandas(attach, schema=out_schema)
-    ranked.persist(StorageLevel.MEMORY_AND_DISK)
-
-    counts = ranked.groupBy("_pid").agg(F.sum(weight_col).alias("_tot")).collect()
-    offsets, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_tot"] or 0
-
-    offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid int, _off long",
-    )
-    keep = [c for c in df.columns]
+    wb = df.withColumn("_b", range_bucket(df, order_cols, num_partitions))
+    counts = sorted(
+        (r["_b"], r["_tot"] or 0) for r in
+        wb.groupBy("_b").agg(F.sum(weight_col).alias("_tot")).collect())
+    offsets, _ = _offsets_df(spark, [((b,), t) for b, t in counts], "_b int")
+    w = (Window.partitionBy("_b").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long")
+    keep = list(df.columns)
     return (
-        ranked.join(F.broadcast(offsets_df), "_pid")
+        wb.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_b")
         .select(*keep, (F.col("_off") + F.col("_local")).alias(out_col))
     )

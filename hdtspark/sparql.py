@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .query import KG, ids_to_strings
 
 
+def query(kg: KG, q: str) -> DataFrame:
+    """Evaluate a SPARQL SELECT string (the reference's string entry point,
+    ``sparql::query`` src/sparql.rs:79-83) — parse, compile BGPs through
+    ``bgp``, delegate expressions/modifiers to Catalyst."""
+    from .sparql_parser import query_df
+
+    return query_df(kg, q)
+
+
 def register_views(spark: SparkSession, kg: KG, prefix: str = "hdt") -> None:
     """Expose string-level triples + dictionary sections as SQL temp views.
 

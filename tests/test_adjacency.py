@@ -23,6 +23,17 @@ def test_salted_adjacency_identical(kg, golden_oracle):
     assert got == golden_oracle.adjacency()
 
 
+def test_auto_salting_triggers_and_is_identical(kg, golden_oracle):
+    """The default 'auto' path salts when max degree crosses the threshold
+    and still produces the exact same layout."""
+    got = sorted(
+        (r["s"], list(r["preds"]), list(r["obj_offsets"]), list(r["objs"]))
+        for r in bitmap_triples.adjacency(kg.spo, salt_buckets="auto",
+                                          skew_threshold=2).collect()
+    )
+    assert got == golden_oracle.adjacency()
+
+
 def test_adjacency_covers_all_subjects(kg):
     n_subj = kg.dict.n_shared + kg.dict.n_subjects
     assert kg.adj.count() == n_subj

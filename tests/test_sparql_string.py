@@ -1,0 +1,83 @@
+"""SPARQL string entry-point tests, mirroring the reference's test query
+shapes (src/sparql.rs:114-120): the three single-pattern selects, an
+expression projection with ORDER BY/LIMIT, and BASE + UNION."""
+
+from __future__ import annotations
+
+import pytest
+
+from hdtspark import rules, sparql
+from hdtspark.sparql_parser import RDF_TYPE, parse
+
+
+def test_parse_shapes():
+    q = parse("SELECT ?x { ?x <http://p> \"o\" }")
+    assert q.select == [("x", None)]
+    assert q.groups == [[("?x", "http://p", '"o"')]]
+
+    q = parse("PREFIX ex: <http://ex.org/> SELECT ?a ?b WHERE "
+              "{ ?a ex:knows ?b . ?b a ex:Person }")
+    assert q.groups == [[("?a", "http://ex.org/knows", "?b"),
+                         ("?b", RDF_TYPE, "http://ex.org/Person")]]
+
+    q = parse("SELECT ?x { ?s <http://p> ?x } ORDER BY DESC(?x) LIMIT 2 OFFSET 1")
+    assert q.order_by == [("x", True)] and q.limit == 2 and q.offset == 1
+
+
+def test_select_single_patterns(kg, golden_oracle):
+    """?x p o / s ?x o / s p ?x — the reference's first three queries."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    s0, _, o0 = sorted(mentions)[0]
+
+    got = {r["x"] for r in sparql.query(
+        kg, f"SELECT ?x {{ ?x <{rules.P_MENTIONS}> <{o0}> }}").collect()}
+    assert got == {s for s, _, o in mentions if o == o0}
+
+    got = {r["x"] for r in sparql.query(
+        kg, f"SELECT ?x {{ <{s0}> ?x <{o0}> }}").collect()}
+    assert rules.P_MENTIONS in got
+
+    got = {r["x"] for r in sparql.query(
+        kg, f"SELECT ?x {{ <{s0}> <{rules.P_MENTIONS}> ?x }}").collect()}
+    assert got == {o for s, _, o in mentions if s == s0}
+
+
+def test_expression_projection_order_limit(kg, golden_oracle):
+    """(CONCAT(?y,'123') AS ?x) ... ORDER BY ?x LIMIT 1 (reference q4)."""
+    rows = sparql.query(
+        kg,
+        f"SELECT (CONCAT(?y, '123') AS ?x) {{ ?s <{rules.P_MENTIONS}> ?y }} "
+        "ORDER BY ?x LIMIT 1").collect()
+    assert len(rows) == 1
+    expected = min(o for _, _, o in golden_oracle.pattern(
+        None, rules.P_MENTIONS, None)) + "123"
+    assert rows[0]["x"] == expected
+
+
+def test_base_and_union(kg, golden_oracle):
+    """BASE <...> SELECT ?x { {?s p ?x} UNION {<a> <b> ?x} } (reference q5)."""
+    rows = sparql.query(
+        kg,
+        "BASE <http://example.org/> "
+        f"SELECT ?x {{ {{ ?s <{rules.P_MENTIONS}> ?x }} "
+        "UNION { <a> <b> ?x } } ORDER BY ?x LIMIT 1").collect()
+    expected = min(o for _, _, o in golden_oracle.pattern(
+        None, rules.P_MENTIONS, None))
+    assert [r["x"] for r in rows] == [expected]
+
+
+def test_select_star_and_a_keyword(kg, golden_oracle):
+    rows = sparql.query(
+        kg, f"SELECT * {{ ?e a <{rules.C_ENTITY}> }}").collect()
+    typed = {s for s, _, _ in golden_oracle.pattern(
+        None, rules.P_TYPE, rules.C_ENTITY)}
+    assert {r["e"] for r in rows} == typed
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse("ASK { ?s ?p ?o }")
+    with pytest.raises(ValueError):
+        parse("SELECT { ?s ?p ?o }")
+    with pytest.raises(ValueError):
+        parse("SELECT ?x { ?x unknown:p ?y }")
