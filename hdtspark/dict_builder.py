@@ -97,9 +97,19 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
     )
     p_terms = flags.filter(F.col("is_p") == 1).select(
         F.lit("predicates").alias("section"), "term")
-    labeled = so_terms.unionAll(p_terms)
+    # Ranking reads its input 4x (count, boundary sample, offsets, final
+    # pass); persist the distinct-terms table so the term-explode groupBy
+    # above runs ONCE, not four times.
+    from pyspark import StorageLevel
+
+    labeled = so_terms.unionAll(p_terms).persist(StorageLevel.MEMORY_AND_DISK)
 
     ids, totals = dense_ids_grouped(labeled, "section", "term")
+    # The dictionary is the hot lookup structure: encode joins it three
+    # times and every query filters it.  Persist the (small) table once —
+    # recompute is deterministic (literal range buckets), so block loss is
+    # harmless, unlike round 1's persisted nondeterministic rank pass.
+    ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
 
     def section(name: str) -> DataFrame:
         return ids.filter(F.col("section") == name).select("term", "id")

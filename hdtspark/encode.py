@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, functions as F
 from .dict_builder import FourSectDict
 
 
+BROADCAST_DICT_MAX_TERMS = 5_000_000
+
+
 def encode_triples(triples_str: DataFrame, d: FourSectDict,
                    num_partitions: int | None = None) -> DataFrame:
     """(s,p,o string) -> deduplicated (s,p,o long) sorted by (s,p,o)."""
@@ -33,11 +36,20 @@ def encode_triples(triples_str: DataFrame, d: FourSectDict,
     pd_ = d.predicates.withColumnRenamed("term", "p").withColumnRenamed("id", "pid")
     od = d.obj_global.withColumnRenamed("term", "o").withColumnRenamed("id", "oid")
 
+    # Broadcast each dict side while it fits comfortably in executor memory
+    # (term counts are known exactly from the dict build, so the decision is
+    # deterministic): the fact side then never shuffles for the joins — one
+    # exchange total (the range partition below).  At 100 TB the dictionary
+    # is billions of terms, the conditions go false, and the joins fall back
+    # to shuffle joins with AQE skew splitting.
+    def maybe_b(df: DataFrame, n_terms: int) -> DataFrame:
+        return F.broadcast(df) if n_terms < BROADCAST_DICT_MAX_TERMS else df
+
     encoded = (
         triples_str.select("s", "p", "o")
-        .join(sd, "s")
-        .join(F.broadcast(pd_) if d.n_predicates < 100_000 else pd_, "p")
-        .join(od, "o")
+        .join(maybe_b(sd, d.n_shared + d.n_subjects), "s")
+        .join(maybe_b(pd_, d.n_predicates), "p")
+        .join(maybe_b(od, d.n_shared + d.n_objects), "o")
         .select(F.col("sid").alias("s"), F.col("pid").alias("p"),
                 F.col("oid").alias("o"))
     )

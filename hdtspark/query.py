@@ -96,13 +96,28 @@ def triple_ids_with_pattern(kg: KG, s: str | None, p: str | None,
 
 
 def ids_to_strings(kg: KG, ids: DataFrame) -> DataFrame:
-    """(s,p,o ids) -> (s,p,o strings) via three dictionary joins."""
-    sd = kg.dict.subj_global.select(F.col("id").alias("s"), F.col("term").alias("s_term"))
-    pd_ = kg.dict.predicates.select(F.col("id").alias("p"), F.col("term").alias("p_term"))
-    od = kg.dict.obj_global.select(F.col("id").alias("o"), F.col("term").alias("o_term"))
-    pd_j = F.broadcast(pd_) if kg.dict.n_predicates < 100_000 else pd_
+    """(s,p,o ids) -> (s,p,o strings) via three dictionary joins.
+
+    Each dict side is broadcast while its exact term count (known from the
+    build) fits executor memory, so translation never shuffles the result
+    set; huge dictionaries fall back to shuffle joins with AQE.
+    """
+    from .encode import BROADCAST_DICT_MAX_TERMS
+
+    def maybe_b(df: DataFrame, n_terms: int) -> DataFrame:
+        return F.broadcast(df) if n_terms < BROADCAST_DICT_MAX_TERMS else df
+
+    sd = maybe_b(kg.dict.subj_global.select(
+        F.col("id").alias("s"), F.col("term").alias("s_term")),
+        kg.dict.n_shared + kg.dict.n_subjects)
+    pd_ = maybe_b(kg.dict.predicates.select(
+        F.col("id").alias("p"), F.col("term").alias("p_term")),
+        kg.dict.n_predicates)
+    od = maybe_b(kg.dict.obj_global.select(
+        F.col("id").alias("o"), F.col("term").alias("o_term")),
+        kg.dict.n_shared + kg.dict.n_objects)
     return (
-        ids.join(sd, "s").join(pd_j, "p").join(od, "o")
+        ids.join(sd, "s").join(pd_, "p").join(od, "o")
         .select(F.col("s_term").alias("s"), F.col("p_term").alias("p"),
                 F.col("o_term").alias("o"))
     )

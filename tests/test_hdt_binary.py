@@ -118,6 +118,44 @@ def test_hdt_file_roundtrip(tmp_path):
     assert got == data
 
 
+SNIKMETA = "/root/reference/tests/resources/snikmeta.hdt"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(SNIKMETA),
+                    reason="reference fixture not present")
+def test_read_real_hdt_artifact():
+    """Interop: parse a REAL .hdt file produced by standard HDT tooling and
+    reproduce the reference's golden fixture numbers (src/hdt.rs:462-469)
+    and its SPARQL test triple (src/sparql.rs:114-120), CRCs validated."""
+    d = hb.read_hdt(SNIKMETA)
+    assert (len(d.shared), len(d.subjects), len(d.predicates),
+            len(d.objects)) == (43, 6, 23, 133)
+    assert len(d.triples) == 328
+
+    n_sh = len(d.shared)
+
+    def subj(i):
+        return d.shared[i - 1] if i <= n_sh else d.subjects[i - 1 - n_sh]
+
+    def obj(i):
+        return d.shared[i - 1] if i <= n_sh else d.objects[i - 1 - n_sh]
+
+    strs = {(subj(s), d.predicates[p - 1], obj(o)) for s, p, o in d.triples}
+    assert ("http://www.snik.eu/ontology/meta/хобби-N-0",
+            "http://www.w3.org/2000/01/rdf-schema#label",
+            '"ХОББИ"@ru') in strs
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(SNIKMETA),
+                    reason="reference fixture not present")
+def test_rewrite_real_hdt_artifact(tmp_path):
+    """Real-world data round-trips through OUR writer byte-semantically."""
+    d = hb.read_hdt(SNIKMETA)
+    path = str(tmp_path / "rt.hdt")
+    hb.write_hdt(path, d)
+    assert hb.read_hdt(path) == d
+
+
 def test_kg_hdt_roundtrip(spark, kg, tmp_path):
     """Full KG -> .hdt -> KG: identical dictionary and identical SPO ids."""
     path = str(tmp_path / "kg.hdt")
