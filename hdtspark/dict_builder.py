@@ -109,7 +109,11 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
     # times and every query filters it.  Persist the (small) table once —
     # recompute is deterministic (literal range buckets), so block loss is
     # harmless, unlike round 1's persisted nondeterministic rank pass.
+    # Materializing it eagerly lets the ranking input cache be RELEASED
+    # (round 1 accumulated never-unpersisted intermediates across builds).
     ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+    ids.count()
+    labeled.unpersist()
 
     def section(name: str) -> DataFrame:
         return ids.filter(F.col("section") == name).select("term", "id")

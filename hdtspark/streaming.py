@@ -83,6 +83,53 @@ def stream_extract(spark: SparkSession, input_dir: str, staging_dir: str,
     q.awaitTermination()
 
 
+def streaming_conv_progress(spark: SparkSession, input_dir: str,
+                            checkpoint_dir: str, out_dir: str) -> "object":
+    """Custom STATEFUL streaming operator (applyInPandasWithState): running
+    per-conversation progress — cumulative turn and character counts — kept
+    in grouped state across micro-batches AND across restarts (state lives
+    in the checkpoint; the parquet sink is recoverable, unlike memory).
+    The conversation id is the state key, so state is partitioned exactly
+    like the shuffle and scales horizontally; each batch appends one row per
+    updated conversation (monotone counters: the max per conv is current).
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    pending files then stops; a later call with the same checkpoint resumes
+    the same state).
+    """
+    import pandas as pd  # noqa: F401  (module-level import required for workers)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        turns, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            turns += len(pdf)
+            chars += int(pdf["text"].str.len().sum())
+        state.update((turns, chars))
+        yield pd.DataFrame({"conv_id": [key[0]], "turns_seen": [turns],
+                            "chars_seen": [chars]})
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_dir)
+    progressed = (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="conv_id string, turns_seen long, chars_seen long",
+            stateStructType="turns long, chars long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        progressed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+
+
 def streaming_turn_stats(spark: SparkSession, input_dir: str,
                          query_name: str = "turn_stats") -> "object":
     """Watermarked event-time windowed aggregation over the transcript

@@ -46,6 +46,37 @@ def test_incremental_stream_extract(spark, tmp_path):
     assert _multiset(spark.read.parquet(staging)) == exp
 
 
+def test_stateful_conv_progress_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-conversation cumulative counts accumulate
+    across micro-batches AND across query restarts (state in checkpoint)."""
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    rows = synth.generate_rows(13, 6)
+    half = len(rows) // 2
+
+    spark.createDataFrame(rows[:half], synth.TRANSCRIPTS_SCHEMA) \
+        .write.mode("append").parquet(inp)
+    streaming.streaming_conv_progress(spark, inp, ckpt, out).awaitTermination()
+
+    spark.createDataFrame(rows[half:], synth.TRANSCRIPTS_SCHEMA) \
+        .write.mode("append").parquet(inp)
+    streaming.streaming_conv_progress(spark, inp, ckpt, out).awaitTermination()
+
+    # counters are monotone: the max row per conversation is its current
+    # state, and must cover BOTH runs' rows (state survived the restart).
+    got: dict[str, tuple[int, int]] = {}
+    for r in spark.read.parquet(out).collect():
+        cur = got.get(r["conv_id"], (0, 0))
+        got[r["conv_id"]] = max(cur, (r["turns_seen"], r["chars_seen"]))
+    exp: dict[str, list[int]] = {}
+    for r in rows:
+        tot = exp.setdefault(r["conv_id"], [0, 0])
+        tot[0] += 1
+        tot[1] += len(r["text"])
+    assert got == {c: tuple(v) for c, v in exp.items()}
+
+
 def test_streaming_turn_stats(spark, tmp_path):
     inp = str(tmp_path / "in")
     rows = synth.generate_rows(5, 8)
