@@ -79,6 +79,12 @@ def _q_adj_stats(spark, sf_dir):
     return adjacency_stats(_kg(spark, sf_dir).adj)
 
 
+def _q_bitmap_y(spark, sf_dir):
+    """E3 y-layer: (pos_y, s, p, last_of_subject) — the bitmap_y view."""
+    from hdtspark import bitmap_triples
+    return bitmap_triples.bitmap_y(_kg(spark, sf_dir).adj)
+
+
 def _q_void(spark, sf_dir):
     return metrics.void_stats_df(_kg(spark, sf_dir).spo)
 
@@ -251,8 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spo": _q_spo,
         # E5 OPS projection / OP-index analog (src/triples.rs:163-209)
         "kg_ops": _q_ops,
-        # E3 adjacency layout stats (src/triples.rs:213-274)
+        # E3 adjacency layout stats + y-layer bitmap (src/triples.rs:213-274)
         "kg_adj_stats": _q_adj_stats,
+        "kg_bitmap_y": _q_bitmap_y,
         # F1 VOID stats (src/nt.rs:47-113)
         "kg_void_stats": _q_void,
         # Q1-Q9 pattern access paths (src/hdt.rs:266-314)
@@ -314,6 +321,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_adj_stats": k(
             "SELECT s, COUNT(DISTINCT p) AS n_preds, COUNT(*) AS n_objs "
             "FROM spo GROUP BY s"
+        ),
+        "kg_bitmap_y": k(
+            "SELECT CAST(row_number() OVER (ORDER BY s, p) - 1 AS BIGINT)"
+            " AS pos_y, s, p,"
+            " (lead(s) OVER (ORDER BY s, p) IS DISTINCT FROM s)"
+            " AS last_of_subject"
+            " FROM (SELECT DISTINCT s, p FROM spo)"
         ),
         "kg_void_stats": k(
             "SELECT 'distinct_objects' AS key, COUNT(DISTINCT o) AS value FROM spo "

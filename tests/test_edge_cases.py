@@ -46,3 +46,35 @@ def test_q10_term_lists(kg, golden_oracle):
 
 def test_q10_unknown_terms_empty(kg):
     assert query.triples_matching(kg, o_terms=["http://ex.org/e/nope"]).count() == 0
+
+
+def test_q10_nonrouted_singletons_filter(kg, golden_oracle):
+    """Round-1 bug: a singleton constraint in a NON-routed slot was silently
+    dropped (s=[X] + o=[Y] returned all triples of X).  Every bound-slot
+    combination must filter."""
+    spo = golden_oracle.spo_str()
+    s0, p0, o0 = next(t for t in sorted(spo) if t[1] == rules.P_MENTIONS)
+
+    # singleton s routed + singleton o residual
+    got = sorted(tuple(r) for r in query.triples_matching(
+        kg, s_terms=[s0], o_terms=[o0]).collect())
+    assert got == sorted(t for t in spo if t[0] == s0 and t[2] == o0)
+    assert got  # non-vacuous
+
+    # singleton p + singleton o: routes on o, p must still filter
+    got = sorted(tuple(r) for r in query.triples_matching(
+        kg, p_terms=[p0], o_terms=[o0]).collect())
+    assert got == sorted(t for t in spo if t[1] == p0 and t[2] == o0)
+    assert got
+
+    # all three singletons
+    got = sorted(tuple(r) for r in query.triples_matching(
+        kg, s_terms=[s0], p_terms=[p0], o_terms=[o0]).collect())
+    assert got == [(s0, p0, o0)]
+
+    # list s + singleton p: p is residual on the SPO scan
+    subjects = sorted({t[0] for t in spo if t[1] == rules.P_MENTIONS})[:2]
+    got = sorted(tuple(r) for r in query.triples_matching(
+        kg, s_terms=subjects, p_terms=[p0]).collect())
+    assert got == sorted(t for t in spo if t[0] in subjects and t[1] == p0)
+    assert got
