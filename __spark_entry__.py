@@ -247,6 +247,18 @@ def _q_mm_features(spark, sf_dir):
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
 
 
+def _q_mm_resize(spark, sf_dir):
+    from hdtspark import multimodal
+    return multimodal.resize_images(
+        multimodal.attach_payload(_docs(spark, sf_dir))).drop("out_bytes")
+
+
+def _q_mm_frames(spark, sf_dir):
+    from hdtspark import multimodal
+    return multimodal.sample_frames(
+        multimodal.attach_payload(_docs(spark, sf_dir))).drop("frame_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # S3/S4 extraction (reference src/nt.rs:165-219)
@@ -297,8 +309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Event-stream analytics (batch form of the streaming aggs)
         "ev_windowed": _q_ev_windowed,
         "ev_top_users": _q_ev_top_users,
-        # Multimodal plumbing (fake decode, real Arrow path)
+        # Multimodal plumbing (fake decode/resize/frame-sample, real Arrow path)
         "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frames": _q_mm_frames,
     }
 
 
@@ -393,4 +407,6 @@ SELECT event_type, user_id, sum_cents,
 FROM sums QUALIFY rank <= 3
 """,
         "mm_features": oracles.multimodal_oracle(),
+        "mm_resize": oracles.resize_oracle(),
+        "mm_frames": oracles.frames_oracle(),
     }

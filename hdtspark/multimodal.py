@@ -61,3 +61,79 @@ def decode_features(media: DataFrame, real: bool = False) -> DataFrame:
             })
 
     return media.select("doc_id", "payload").mapInPandas(decode, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id long, width int, height int, out_bytes binary, "
+                 "out_sig string")
+
+
+def resize_images(media: DataFrame, width: int = 64,
+                  height: int = 64, real: bool = False) -> DataFrame:
+    """Fake resize with REAL binary-in/binary-out Arrow plumbing: the output
+    payload is the input bytes tiled/truncated to width*height/8 bytes (a
+    real Pillow resize slots into the marked spot); ``out_sig`` is the md5
+    of the output so the transform is oracle-checkable without shipping the
+    binary through the driver compare."""
+    target = max(1, width * height // 8)
+
+    def resize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if real:
+                raise NotImplementedError(
+                    "real image resize needs Pillow — plug it in here")
+            outs, sigs = [], []
+            for payload in pdf["payload"]:
+                # fake "resize": tile the decoded text to `target` chars
+                # (char, not byte, semantics — reproducible as SQL
+                # repeat+substring for the oracle), re-encode to bytes
+                t = bytes(payload).decode("utf-8")
+                out = (t * (target // max(len(t), 1) + 1))[:target]
+                outs.append(out.encode("utf-8"))
+                sigs.append(hashlib.md5(out.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": width, "height": height,
+                "out_bytes": outs, "out_sig": sigs,
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sig string, frame_bytes binary"
+
+
+def sample_frames(media: DataFrame, stride: int = 2,
+                  real: bool = False) -> DataFrame:
+    """Fake video frame sampling with the REAL fan-out batch shape: each
+    input row explodes into one output row per sampled frame (indices
+    0, stride, 2*stride, ... below the fake frame count 1 + n_bytes % 5).
+    Frame bytes are deterministic (md5-keyed), so the per-frame signature is
+    reproducible in SQL for the driver oracle."""
+
+    def sample(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if real:
+                raise NotImplementedError(
+                    "real frame extraction needs ffmpeg — plug it in here")
+            rows = {"doc_id": [], "frame_idx": [], "frame_sig": [],
+                    "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = 1 + len(b) % 5
+                for i in range(0, frames, stride):
+                    sig = hashlib.md5(b + f":{i}".encode()).hexdigest()
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sig"].append(sig)
+                    rows["frame_bytes"].append(bytes.fromhex(sig) * 4)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)

@@ -410,6 +410,33 @@ SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
     }
 
 
+def resize_oracle(width: int = 64, height: int = 64) -> str:
+    target = max(1, width * height // 8)
+    out = (f"substring(repeat(text, CAST({target} / greatest(length(text), 1)"
+           f" AS INT) + 1), 1, {target})")
+    return f"""
+SELECT doc_id, CAST({width} AS INT) AS width, CAST({height} AS INT) AS height,
+       md5({out}) AS out_sig
+FROM documents
+"""
+
+
+def frames_oracle(stride: int = 2) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, 1 + octet_length(encode(text)) % 5 AS frames
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, unnest(generate_series(0, frames - 1, {stride})) AS frame_idx
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+FROM fr
+"""
+
+
 def multimodal_oracle() -> str:
     return """
 WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)

@@ -191,3 +191,40 @@ def test_multimodal_real_decode_is_stubbed(docs):
     media = multimodal.attach_payload(docs)
     with pytest.raises(Exception):  # NotImplementedError inside the task
         multimodal.decode_features(media, real=True).collect()
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, real=True).collect()
+    with pytest.raises(Exception):
+        multimodal.sample_frames(media, real=True).collect()
+
+
+def test_multimodal_resize(docs):
+    import hashlib
+    media = multimodal.attach_payload(docs)
+    got = {r["doc_id"]: (r["width"], r["height"], bytes(r["out_bytes"]),
+                         r["out_sig"])
+           for r in multimodal.resize_images(media, 64, 64).collect()}
+    for row in docs.collect():
+        t = row["text"]
+        out = (t * (512 // max(len(t), 1) + 1))[:512]
+        w, h, b, sig = got[row["doc_id"]]
+        assert (w, h) == (64, 64)
+        assert b == out.encode()
+        assert sig == hashlib.md5(out.encode()).hexdigest()
+
+
+def test_multimodal_sample_frames(docs):
+    import hashlib
+    media = multimodal.attach_payload(docs)
+    got: dict[tuple, tuple] = {}
+    for r in multimodal.sample_frames(media, stride=2).collect():
+        got[(r["doc_id"], r["frame_idx"])] = (r["frame_sig"],
+                                              bytes(r["frame_bytes"]))
+    count = 0
+    for row in docs.collect():
+        b = row["text"].encode()
+        frames = 1 + len(b) % 5
+        for i in range(0, frames, 2):
+            sig = hashlib.md5(b + f":{i}".encode()).hexdigest()
+            assert got[(row["doc_id"], i)] == (sig, bytes.fromhex(sig) * 4)
+            count += 1
+    assert len(got) == count  # no extra frames emitted
