@@ -44,6 +44,11 @@ def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
         spo = spo.cache()
     ops = encode.ops_projection(spo)
     pso = encode.pso_projection(spo)
+    if cache:
+        # The projections exist to be queried repeatedly; uncached they
+        # re-shuffle+re-sort spo on every ??O/?PO/?P? query.  (The durable
+        # path materializes them as parquet instead — checkpoint.py.)
+        ops, pso = ops.cache(), pso.cache()
     adj = bitmap_triples.adjacency(spo) if with_adjacency else None
 
     return KG(dict=d, spo=spo, ops=ops, pso=pso, adj=adj, triples_str=triples_str)
