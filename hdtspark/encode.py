@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, functions as F
 from .dict_builder import FourSectDict
 
 
-BROADCAST_DICT_MAX_TERMS = 5_000_000
+# ~60-80 MB of URI-length terms: comfortably broadcastable.  Above this the
+# driver-serial HashedRelation build/ship dominates (measured: two ~5M-term
+# broadcasts added ~100s of serial time at ANY parallelism, wrecking the
+# N->4N scaling ratio), while a shuffle join scales with cores.
+BROADCAST_DICT_MAX_TERMS = 1_000_000
 
 
 def encode_triples(triples_str: DataFrame, d: FourSectDict,
