@@ -44,7 +44,7 @@ def _kg(spark: SparkSession, sf_dir: str) -> query.KG:
     key = (id(spark), sf_dir)
     if key not in _kg_cache:
         t = _transcripts_from_documents(spark, sf_dir)
-        _kg_cache[key] = pipeline.build_kg(t)
+        _kg_cache[key] = pipeline.build_kg(t, cache_projections=True)
     return _kg_cache[key]
 
 

@@ -95,7 +95,8 @@ def main() -> None:
 
 def _build_and_materialize(pipeline_mod, transcripts):
     """Build the KG and force full materialization of spo + projections."""
-    kg = pipeline_mod.build_kg(transcripts)
+    # cache_projections: the bench queries each projection repeatedly
+    kg = pipeline_mod.build_kg(transcripts, cache_projections=True)
     kg.stats["num_triples"] = pipeline_mod.materialize(kg)
     return kg
 

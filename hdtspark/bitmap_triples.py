@@ -41,10 +41,18 @@ def adjacency(spo: DataFrame, salt_buckets: int | str | None = "auto",
     itself) and salt whenever it exceeds ``skew_threshold``.
     """
     if salt_buckets == "auto":
-        max_deg = (
-            spo.groupBy("s").agg(F.count("*").alias("d"))
-            .agg(F.max("d").alias("m")).first()["m"]
-        ) or 0
+        # Sampled degree estimate: a full groupBy(s).count() pass over spo
+        # just to pick a strategy is wasted shuffle at build time.  A 0.1%
+        # sample sees a subject of true degree d about d/1000 times, so
+        # est = sampled_max * 1000 resolves order-of-magnitude — all the
+        # threshold needs.  (Sampling is a narrow scan, no shuffle.)
+        frac = 0.001
+        row = (
+            spo.sample(False, frac, seed=7)
+            .groupBy("s").agg(F.count("*").alias("d"))
+            .agg(F.max("d").alias("m")).first()
+        )
+        max_deg = int((row["m"] or 0) / frac)
         salt_buckets = DEFAULT_SALT_BUCKETS if max_deg > skew_threshold else None
     if salt_buckets:
         partial = (

@@ -14,15 +14,18 @@ from .query import KG
 
 
 def build_kg(transcripts: DataFrame, use_pandas_udf: bool = True,
-             cache: bool = True, with_adjacency: bool = True) -> KG:
+             cache: bool = True, with_adjacency: bool = True,
+             cache_projections: bool = False) -> KG:
     """Run extract -> dict -> encode -> projections (+ adjacency)."""
     triples_str = extract.extract_triples(transcripts, use_pandas_udf=use_pandas_udf)
     return build_kg_from_triples(triples_str, cache=cache,
-                                 with_adjacency=with_adjacency)
+                                 with_adjacency=with_adjacency,
+                                 cache_projections=cache_projections)
 
 
 def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
-                          with_adjacency: bool = True) -> KG:
+                          with_adjacency: bool = True,
+                          cache_projections: bool = False) -> KG:
     """dict -> encode -> projections over pre-extracted (s, p, o) strings.
 
     The entry point for non-transcript sources — e.g. an N-Triples file via
@@ -44,9 +47,10 @@ def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
         spo = spo.cache()
     ops = encode.ops_projection(spo)
     pso = encode.pso_projection(spo)
-    if cache:
-        # The projections exist to be queried repeatedly; uncached they
-        # re-shuffle+re-sort spo on every ??O/?PO/?P? query.  (The durable
+    if cache_projections:
+        # Opt-in for query-heavy sessions: uncached, every ??O/?PO/?P? query
+        # re-shuffles spo.  Off by default — storing two full projections
+        # adds real memory churn to build-only workloads.  (The durable
         # path materializes them as parquet instead — checkpoint.py.)
         ops, pso = ops.cache(), pso.cache()
     adj = bitmap_triples.adjacency(spo) if with_adjacency else None
