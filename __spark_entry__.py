@@ -203,7 +203,7 @@ def _q_export_nt(spark, sf_dir):
     """S5 sink: the full enumeration as N-Triples lines."""
     from hdtspark import export
     kg = _kg(spark, sf_dir)
-    return export.nt_lines(query.ids_to_strings(kg, kg.spo))
+    return export.nt_lines(kg.str_enum())
 
 
 def _q_nt_roundtrip(spark, sf_dir):
@@ -230,7 +230,7 @@ def _q_hdt_roundtrip(spark, sf_dir):
                         f"hdtspark_hdt_rt_{os.path.basename(sf_dir.rstrip('/'))}.hdt")
     hdt_binary.write_hdt_file(kg, path)
     kg2 = hdt_binary.read_hdt_spark(spark, path)
-    return query.ids_to_strings(kg2, kg2.spo)
+    return kg2.str_enum()
 
 
 def _q_bgp(spark, sf_dir):

@@ -52,8 +52,11 @@ def main() -> None:
     # timed numbers reflect steady state (criterion-style; see BENCH.md) ---
     warm = synth.transcripts_df(spark, seed=7, n_conv=500).cache()
     warm.count()
-    _build_and_materialize(pipeline, warm)
-    warm.unpersist()
+    wkg = _build_and_materialize(pipeline, warm)
+    wkg.str_enum().count()
+    wkg.unpersist()       # release EVERY build's persists before the next:
+    warm.unpersist()      # accumulated caches were r2's 3-9x documents-build
+                          # slowdown (VERDICT r2 "What's wrong" #1)
 
     # --- 1. KG pipeline on the synthetic corpus (distributed generation) ---
     n_conv = max(200, int(100_000 * sf))  # sf0.1 -> 10k conversations
@@ -67,6 +70,10 @@ def main() -> None:
     extra["triples_per_sec"] = round(n_triples / times["kg_build"], 1)
 
     # --- 2. criterion-style pattern queries over the built KG ---
+    # One-time translation materialization (the NT-export input), timed as
+    # its own stage: queries then filter the cached enumeration instead of
+    # re-broadcasting the dictionary per action.
+    timed("kg_enum", lambda: _count(kg.str_enum()))
     s_const = rules.turn_iri(synth.conv_id_for(1), 1)
     timed("q_all", lambda: _count(query.triples_with_pattern(kg)))
     timed("q_s", lambda: _count(query.triples_with_pattern(kg, s=s_const)))
@@ -74,12 +81,16 @@ def main() -> None:
     timed("q_o", lambda: _count(query.triples_with_pattern(kg, o=rules.ent_iri("apache-spark"))))
     timed("q_po", lambda: _count(query.triples_with_pattern(kg, p=rules.P_TYPE, o=rules.C_ENTITY)))
 
+    kg.unpersist()
+    transcripts.unpersist()
+
     # --- 3. documents-derived KG (driver-facing path) ---
     import __spark_entry__ as entrymod
 
     docs_kg = timed("kg_build_documents",
                     lambda: _build_and_materialize(pipeline, entrymod._transcripts_from_documents(spark, sf_dir)))
     extra["n_triples_documents"] = docs_kg.stats["num_triples"]
+    docs_kg.unpersist()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -94,9 +105,13 @@ def main() -> None:
 
 
 def _build_and_materialize(pipeline_mod, transcripts):
-    """Build the KG and force full materialization of spo + projections."""
-    # cache_projections: the bench queries each projection repeatedly
-    kg = pipeline_mod.build_kg(transcripts, cache_projections=True)
+    """Build the KG and force full materialization of spo + projections.
+
+    No projection caching: queries read the cached string enumeration, and
+    build-only KGs (documents path) never re-read the projections — caching
+    them was pure memory churn (VERDICT r2 "What's wrong" #1).
+    """
+    kg = pipeline_mod.build_kg(transcripts)
     kg.stats["num_triples"] = pipeline_mod.materialize(kg)
     return kg
 

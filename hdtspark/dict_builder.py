@@ -31,6 +31,14 @@ class FourSectDict:
     n_subjects: int
     n_predicates: int
     n_objects: int
+    # the persisted (section, term, id) table all four sections filter from —
+    # kept so KG.unpersist() can release it (r2's documents-build regression
+    # was persists accumulating across builds in one JVM)
+    ids: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.ids is not None:
+            self.ids.unpersist()
 
     @property
     def subj_global(self) -> DataFrame:
@@ -127,4 +135,5 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
         n_subjects=totals.get("subjects", 0),
         n_predicates=totals.get("predicates", 0),
         n_objects=totals.get("objects", 0),
+        ids=ids,
     )

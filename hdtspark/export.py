@@ -67,4 +67,4 @@ def nt_lines(triples_str: DataFrame) -> DataFrame:
 
 def write_nt(kg: KG, path: str) -> None:
     """Enumerate the whole graph in SPO order and write N-Triples text."""
-    nt_lines(ids_to_strings(kg, kg.spo)).write.mode("overwrite").text(path)
+    nt_lines(kg.str_enum()).write.mode("overwrite").text(path)

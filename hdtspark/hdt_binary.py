@@ -137,21 +137,45 @@ def crc32c(data: bytes) -> int:
 
 # --- bit packing (little-endian bitstream, LSB first — Log64/Bitmap layout) --
 
+_PACK_CHUNK = 1 << 20  # rows per numpy chunk; multiple of 8 so every chunk's
+                       # bit count is byte-aligned and chunks concatenate
+                       # without cross-chunk bit carries.
+
+
 def pack_bits(values: list[int], bits: int) -> bytes:
     """Pack values LSB-first into a little-endian bitstream,
     ceil(len*bits/8) bytes (the byte image of the reference's u64 LE words
-    with trailing zero bytes dropped)."""
-    acc = 0
-    for i, v in enumerate(values):
-        acc |= v << (i * bits)
+    with trailing zero bytes dropped).
+
+    Vectorized per chunk (numpy packbits) — a single Python bigint
+    accumulator is O(n^2) and takes hours at the 10M+ value sizes the
+    sequence layers reach."""
     total_bits = bits * len(values)
-    return acc.to_bytes((total_bits + 7) // 8, "little") if total_bits else b""
+    if not total_bits:
+        return b""
+    import numpy as np
+
+    out = bytearray()
+    shifts = np.arange(bits, dtype=np.uint64)
+    for i0 in range(0, len(values), _PACK_CHUNK):
+        arr = np.asarray(values[i0:i0 + _PACK_CHUNK], dtype=np.uint64)
+        bit_mat = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        out += np.packbits(bit_mat.reshape(-1), bitorder="little").tobytes()
+    return bytes(out[:(total_bits + 7) // 8])
 
 
 def unpack_bits(data: bytes, bits: int, n: int) -> list[int]:
-    acc = int.from_bytes(data, "little")
-    mask = (1 << bits) - 1
-    return [(acc >> (i * bits)) & mask for i in range(n)]
+    if bits == 0 or n == 0:
+        return [0] * n
+    import numpy as np
+
+    bit_arr = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                            bitorder="little")[: n * bits]
+    vals = np.zeros(n, dtype=np.uint64)
+    # accumulate bit-plane by bit-plane: no (n, bits) uint64 intermediate
+    for b in range(bits):
+        vals |= bit_arr[b::bits].astype(np.uint64) << np.uint64(b)
+    return vals.tolist()
 
 
 def bit_width(n: int) -> int:
@@ -184,21 +208,25 @@ class ControlInfo:
             raise ValueError(f"bad HDT cookie {cookie!r}")
         hist += cookie
         t = fh.read(1)
+        if not t:
+            raise ValueError("unexpected EOF in ControlInfo (missing type)")
         hist += t
-        fmt = bytearray()
-        while True:
-            b = fh.read(1)
-            hist += b
-            if b == b"\x00":
-                break
-            fmt += b
-        props_raw = bytearray()
-        while True:
-            b = fh.read(1)
-            hist += b
-            if b == b"\x00":
-                break
-            props_raw += b
+
+        def scan_nul_terminated() -> bytearray:
+            # b'' from read(1) means EOF before the terminator: corrupt or
+            # truncated input must raise, not spin forever.
+            out = bytearray()
+            while True:
+                b = fh.read(1)
+                if not b:
+                    raise ValueError("unexpected EOF in ControlInfo")
+                hist.extend(b)
+                if b == b"\x00":
+                    return out
+                out += b
+
+        fmt = scan_nul_terminated()
+        props_raw = scan_nul_terminated()
         crc_code = int.from_bytes(fh.read(2), "little")
         if crc16(bytes(hist)) != crc_code:
             raise ValueError("ControlInfo CRC16 mismatch")
@@ -369,7 +397,19 @@ def _triples_to_layers(triples: list[tuple[int, int, int]]):
     seq_z, bitmap_z, pairs = [], [], []
     for i, (s, p, o) in enumerate(triples):
         nxt = triples[i + 1] if i + 1 < len(triples) else None
+        if i and triples[i - 1] >= (s, p, o):
+            raise ValueError(
+                f"triples must be strictly sorted SPO; violated at index {i}")
         if i == 0 or (triples[i - 1][0], triples[i - 1][1]) != (s, p):
+            # subjects are encoded implicitly by position: the layout is only
+            # valid for contiguous subject ids 1..n.  A gap (e.g. a filtered
+            # triple subset) would silently shift every later subject —
+            # corrupt file — so validate the precondition here.
+            prev_s = triples[i - 1][0] if i else 0
+            if s != prev_s and s != prev_s + 1:
+                raise ValueError(
+                    f"subject ids must be contiguous from 1 in sorted SPO "
+                    f"order; got subject {s} after {prev_s} at triple {i}")
             pairs.append((s, p))
         seq_z.append(o)
         bitmap_z.append(nxt is None or (nxt[0], nxt[1]) != (s, p))

@@ -37,6 +37,39 @@ class KG:
     adj: DataFrame | None = None
     triples_str: DataFrame | None = None
     stats: dict = field(default_factory=dict)
+    # lazily-built, persisted string enumeration (see str_enum)
+    _str_enum: DataFrame | None = field(default=None, repr=False)
+
+    def str_enum(self) -> DataFrame:
+        """The full string-level (s, p, o) enumeration, persisted once.
+
+        Built on first use and cached MEMORY_AND_DISK: every string-level
+        query and the NT/Turtle sinks read it, and caching it means the
+        up-to-1M-term dictionary broadcasts are paid ONCE per KG instead of
+        once per query action (r2: every query re-built 60-80 MB
+        HashedRelations, flattening q_* at ~2s regardless of selectivity).
+        Cached columnar batches keep min/max stats, so selective filters
+        still prune batches like a sorted parquet scan would.
+        """
+        if self._str_enum is None:
+            from pyspark import StorageLevel
+
+            self._str_enum = ids_to_strings(self, self.spo).persist(
+                StorageLevel.MEMORY_AND_DISK)
+        return self._str_enum
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every persist this KG owns (triples_str, spo, the
+        optionally-cached projections, the dictionary ids table, the string
+        enumeration).  Builds that construct several KGs in one JVM (bench,
+        multi-graph jobs) must call this between builds — r2's
+        documents-path build ran 3-9x slower purely from the accumulated
+        memory footprint of earlier KGs' never-released caches."""
+        for df in (self.triples_str, self.spo, self.ops, self.pso,
+                   self._str_enum):
+            if df is not None:
+                df.unpersist(blocking)
+        self.dict.unpersist()
 
 
 def _lookup_ids(kg: KG, s: str | None, p: str | None, o: str | None):
@@ -125,11 +158,21 @@ def ids_to_strings(kg: KG, ids: DataFrame) -> DataFrame:
 
 def triples_with_pattern(kg: KG, s: str | None = None, p: str | None = None,
                          o: str | None = None) -> DataFrame:
-    """String-level pattern query — the reference's main public API."""
-    ids = triple_ids_with_pattern(kg, s, p, o)
-    if ids is None:
-        return _empty_result(kg.spo.sparkSession)
-    return ids_to_strings(kg, ids)
+    """String-level pattern query — the reference's main public API.
+
+    Evaluates as a pushed-down filter over the KG's persisted string
+    enumeration (``KG.str_enum``): one job per query, no per-query dict
+    broadcasts, batch-stat pruning on the cached columnar scan.  The
+    ID-level entry (``triple_ids_with_pattern``) remains the route for
+    result sets that must stay narrow (BGP joins, ID APIs) and for
+    extreme-scale deployments where a cached string enumeration is
+    undesirable.
+    """
+    df = kg.str_enum()
+    for col, v in (("s", s), ("p", p), ("o", o)):
+        if v is not None:
+            df = df.filter(F.col(col) == v)
+    return df
 
 
 def triples_matching(kg: KG, s_terms: list[str] | None = None,
@@ -138,45 +181,18 @@ def triples_matching(kg: KG, s_terms: list[str] | None = None,
     """Q10: multi-constant matchers (reference src/hdt_graph.rs:138-202).
 
     Each position may carry a term LIST; the reference routes singletons to
-    the indexed paths and evaluates lists as residual post-filters — here a
-    singleton becomes the projection-routing constant and lists become
-    Catalyst ``isin`` filters (pushed down to the scan).
+    the indexed paths and evaluates lists as residual post-filters — here
+    every bound position becomes a Catalyst ``isin``/equality filter over
+    the persisted string enumeration, pushed into the cached columnar scan
+    (batch min/max stats prune like the reference's index seek).
     """
-    def ids_for(dict_df: DataFrame, terms: list[str]) -> list[int]:
-        rows = dict_df.filter(F.col("term").isin(terms)).select("id").collect()
-        return [r["id"] for r in rows]
-
-    sids = ids_for(kg.dict.subj_global, s_terms) if s_terms else None
-    pids = ids_for(kg.dict.predicates, p_terms) if p_terms else None
-    oids = ids_for(kg.dict.obj_global, o_terms) if o_terms else None
-    if (s_terms and not sids) or (p_terms and not pids) or (o_terms and not oids):
-        return _empty_result(kg.spo.sparkSession)
-
-    # Route to the projection matching the most selective single-bound slot;
-    # EVERY other bound slot (singleton or list) remains a residual isin
-    # filter — dropping a non-routed singleton returns wrong supersets.
-    routed = None
-    if sids and len(sids) == 1:
-        df, routed = kg.spo.filter(F.col("s") == sids[0]), "s"
-    elif oids and len(oids) == 1:
-        df, routed = kg.ops.filter(F.col("o") == oids[0]), "o"
-    elif pids and len(pids) == 1:
-        df, routed = kg.pso.filter(F.col("p") == pids[0]), "p"
-    else:
-        df = kg.spo
-    if sids and routed != "s":
-        df = df.filter(F.col("s").isin(sids))
-    if pids and routed != "p":
-        df = df.filter(F.col("p").isin(pids))
-    if oids and routed != "o":
-        df = df.filter(F.col("o").isin(oids))
-    return ids_to_strings(kg, df.select("s", "p", "o"))
+    df = kg.str_enum()
+    for col, terms in (("s", s_terms), ("p", p_terms), ("o", o_terms)):
+        if terms:
+            df = df.filter(F.col(col).isin(terms))
+    return df
 
 
 def subjects_with_po(kg: KG, p: str, o: str) -> DataFrame:
     """?PO projection to subjects only (reference src/hdt.rs:236-253)."""
-    ids = triple_ids_with_pattern(kg, None, p, o)
-    if ids is None:
-        return kg.spo.sparkSession.createDataFrame([], "s string")
-    sd = kg.dict.subj_global.select(F.col("id").alias("s"), F.col("term").alias("s_term"))
-    return ids.select("s").join(sd, "s").select(F.col("s_term").alias("s"))
+    return triples_with_pattern(kg, p=p, o=o).select("s")

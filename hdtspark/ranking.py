@@ -39,22 +39,51 @@ def _lex_ge(cols: list[str], values: list) -> F.Column:
     return cond
 
 
+PROBE_FRACTION = 0.002
+MAX_PROBE = 65536
+
+
 def range_bucket(df: DataFrame, cols: list[str],
-                 n_buckets: int | None = None) -> F.Column:
+                 n_buckets: int | None = None,
+                 n_rows: int | None = None) -> F.Column:
     """Deterministic, order-preserving bucket id for ``cols``.
 
-    Boundaries come from one bounded sample (n_buckets * SAMPLE_PER_BUCKET
-    rows collected); the returned Column is a pure function of the key, so
-    every job that evaluates it agrees — no persist, no re-sampling hazard.
+    Boundaries come from one bounded sample; the returned Column is a pure
+    function of the key, so every job that evaluates it agrees — no persist,
+    no re-sampling hazard.
+
+    Driver round-trips: ONE job.  When ``n_rows`` is unknown, the count and
+    the boundary sample are a single collect — a union of a count-aggregate
+    branch and a fixed-fraction sample branch (the count can't feed the
+    sample fraction inside one job, so the sample runs at PROBE_FRACTION
+    capped at MAX_PROBE rows).  At extreme scale pass ``n_rows`` (builds
+    know their sizes) to get an exact-fraction sample with no limit-gather.
     """
     spark = df.sparkSession
     n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cnt = df.count()
-    if cnt == 0:
-        return F.lit(0)
-    frac = min(1.0, (n * SAMPLE_PER_BUCKET) / cnt)
-    keys = sorted(tuple(r) for r in
-                  df.select(*cols).sample(False, frac, seed=_SEED).collect())
+    if n_rows is not None:
+        if n_rows == 0:
+            return F.lit(0)
+        frac = min(1.0, (n * SAMPLE_PER_BUCKET) / n_rows)
+        keys = sorted(tuple(r) for r in
+                      df.select(*cols).sample(False, frac, seed=_SEED).collect())
+        cnt = n_rows
+    else:
+        null_keys = [F.lit(None).cast(df.schema[c].dataType).alias(c)
+                     for c in cols]
+        cnt_branch = df.groupBy().agg(F.count("*").alias("_cnt")).select(
+            F.lit(0).alias("_tag"), "_cnt", *null_keys)
+        smp_branch = (
+            df.select(*cols).sample(False, PROBE_FRACTION, seed=_SEED)
+            .limit(MAX_PROBE)
+            .select(F.lit(1).alias("_tag"),
+                    F.lit(None).cast("long").alias("_cnt"), *cols))
+        rows = cnt_branch.unionAll(smp_branch).collect()
+        cnt = next(r["_cnt"] for r in rows if r["_tag"] == 0)
+        if cnt == 0:
+            return F.lit(0)
+        keys = sorted(tuple(r[c] for c in cols)
+                      for r in rows if r["_tag"] == 1)
     bounds: list[tuple] = []
     if keys:
         step = max(1, len(keys) // n)
@@ -82,7 +111,9 @@ def _offsets_df(spark, counts, key_fields: str):
     for key, cnt in counts:
         rows.append((*key, acc))
         acc += cnt
-    return spark.createDataFrame(rows or [tuple([0] * (key_fields.count(",") + 1))],
+    # fallback row must match the FULL schema: n key fields + the _off field
+    empty = tuple([0] * (key_fields.count(",") + 1)) + (0,)
+    return spark.createDataFrame(rows or [empty],
                                  key_fields + ", _off long"), acc
 
 

@@ -32,7 +32,7 @@ def register_views(spark: SparkSession, kg: KG, prefix: str = "hdt") -> None:
     ``{prefix}_spo`` the ID-level projection; four ``{prefix}_dict_*``
     views carry (term, id).
     """
-    ids_to_strings(kg, kg.spo).createOrReplaceTempView(f"{prefix}_triples")
+    kg.str_enum().createOrReplaceTempView(f"{prefix}_triples")
     kg.spo.createOrReplaceTempView(f"{prefix}_spo")
     kg.dict.shared.createOrReplaceTempView(f"{prefix}_dict_shared")
     kg.dict.subjects.createOrReplaceTempView(f"{prefix}_dict_subjects")
@@ -48,7 +48,7 @@ def bgp(kg: KG, patterns: list[tuple[str, str, str]]) -> DataFrame:
     (Catalyst reorders/broadcasts as it sees fit); returns one column per
     distinct variable, named without the '?'.
     """
-    enum = ids_to_strings(kg, kg.spo)
+    enum = kg.str_enum()
 
     def is_var(t: str) -> bool:
         return t.startswith("?")

@@ -78,3 +78,16 @@ def test_q10_nonrouted_singletons_filter(kg, golden_oracle):
         kg, s_terms=subjects, p_terms=[p0]).collect())
     assert got == sorted(t for t in spo if t[0] in subjects and t[1] == p0)
     assert got
+
+
+def test_ranking_empty_inputs(spark):
+    """_offsets_df fallback-row arity: empty input must yield empty output,
+    not FIELD_STRUCT_LENGTH_MISMATCH (r2 regression)."""
+    from hdtspark import ranking
+
+    empty = spark.createDataFrame([], "term string")
+    assert ranking.dense_ids(empty, "term", num_partitions=4).count() == 0
+
+    empty_w = spark.createDataFrame([], "s long, np long")
+    out = ranking.cumulative_sum(empty_w, ["s"], "np", out_col="cum")
+    assert out.count() == 0

@@ -167,3 +167,38 @@ def test_kg_hdt_roundtrip(spark, kg, tmp_path):
         assert a == b, sec
     assert sorted(map(tuple, kg.spo.collect())) == \
         sorted(map(tuple, kg2.spo.collect()))
+
+
+# --- corrupt/hostile input regressions ----------------------------------------
+
+def test_control_info_truncated_raises_not_hangs():
+    # EOF mid-scan must raise (a b'' read used to spin the nul-scan forever)
+    buf = io.BytesIO()
+    hb.ControlInfo(hb.TYPE_GLOBAL, hb.FORMAT_CONTAINER).write(buf)
+    full = buf.getvalue()
+    for cut in (4, 5, 7, len(full) - 3):  # after cookie / type / mid-format
+        with pytest.raises(ValueError):
+            hb.ControlInfo.read(io.BytesIO(full[:cut]))
+
+
+def test_triples_to_layers_rejects_subject_gaps_and_unsorted():
+    with pytest.raises(ValueError, match="contiguous"):
+        hb._triples_to_layers([(1, 1, 1), (3, 1, 1)])
+    with pytest.raises(ValueError, match="contiguous"):
+        hb._triples_to_layers([(2, 1, 1)])  # must start at 1
+    with pytest.raises(ValueError, match="sorted"):
+        hb._triples_to_layers([(1, 2, 1), (1, 1, 1)])
+
+
+def test_pack_bits_large_is_linear_not_quadratic():
+    # 400k 24-bit values: the old bigint accumulator took ~30s+; the
+    # vectorized path is well under a second — assert correctness at a size
+    # that would time out the quadratic implementation.
+    import time
+    vals = [(i * 2654435761) % (1 << 24) for i in range(400_000)]
+    t0 = time.monotonic()
+    packed = hb.pack_bits(vals, 24)
+    got = hb.unpack_bits(packed, 24, len(vals))
+    assert got == vals
+    assert len(packed) == (24 * len(vals) + 7) // 8
+    assert time.monotonic() - t0 < 10.0
