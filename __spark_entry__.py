@@ -118,14 +118,32 @@ def _embeddings(spark, sf_dir):
 ANN_QUERY_IDS = [0, 1, 2]
 
 
+def dedup_defaults() -> tuple[int, int]:
+    """(NUM_HASHES, BANDS) production LSH defaults from hdtspark.dedup."""
+    from hdtspark import dedup
+    return dedup.NUM_HASHES, dedup.BANDS
+
+
 def _q_dd_exact(spark, sf_dir):
     from hdtspark import dedup
     return dedup.exact_duplicates(_dd_docs(spark, sf_dir))
 
 
 def _q_dd_minhash(spark, sf_dir):
+    """Toy LSH setting (8 hashes / 4 bands) — the fast oracle check."""
     from hdtspark import dedup
-    return dedup.near_duplicates_minhash(_dd_docs(spark, sf_dir), threshold=0.7)
+    return dedup.near_duplicates_minhash(_dd_docs(spark, sf_dir),
+                                         threshold=0.7, num_hashes=8,
+                                         bands_n=4)
+
+
+def _q_dd_minhash_prod(spark, sf_dir):
+    """Production LSH setting (128 hashes / 16 bands, dedup.NUM_HASHES):
+    same pipeline, real recall curve — checked against the parameterized
+    DuckDB oracle at the same setting."""
+    from hdtspark import dedup
+    return dedup.near_duplicates_minhash(_dd_docs(spark, sf_dir),
+                                         threshold=0.7)
 
 
 def _q_dd_ngram(spark, sf_dir):
@@ -219,6 +237,21 @@ def _q_nt_roundtrip(spark, sf_dir):
     return sources.read_nt(spark, path)
 
 
+def _q_ttl_roundtrip(spark, sf_dir):
+    """S5/ttl: write_ttl -> parse back -> identical enumeration (the
+    reference CLI's HDT->Turtle convert, src/main.rs:142-152)."""
+    import os
+    import tempfile
+
+    from hdtspark import turtle
+    kg = _kg(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"hdtspark_ttl_rt_{os.path.basename(sf_dir.rstrip('/'))}.ttl")
+    turtle.write_ttl(kg, path, {**turtle.default_prefixes(),
+                                "ex": rules.BASE + "/"})
+    return turtle.read_ttl(spark, path)
+
+
 def _q_hdt_roundtrip(spark, sf_dir):
     """S1+S2: KG -> HDT binary file -> KG -> identical string enumeration."""
     import os
@@ -240,6 +273,16 @@ def _q_bgp(spark, sf_dir):
         ("?turn", rules.P_MENTIONS, "?ent"),
         ("?ent", rules.P_TYPE, rules.C_ENTITY),
     ])
+
+
+def _q_bgp_filter(spark, sf_dir):
+    """§2.5: SPARQL string query with FILTER + DISTINCT (Catalyst-delegated
+    expression over the ID-level BGP result)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT DISTINCT ?turn ?ent { "
+        f"?turn <{rules.P_MENTIONS}> ?ent . "
+        'FILTER (CONTAINS(?ent, "spark")) }'))
 
 
 def _q_mm_features(spark, sf_dir):
@@ -289,12 +332,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5 NT sink / S3 NT source round-trip / §2.5 BGP surface
         "kg_export_nt": _q_export_nt,
         "kg_nt_roundtrip": _q_nt_roundtrip,
+        "kg_ttl_roundtrip": _q_ttl_roundtrip,
         # S1/S2 HDT-binary source+sink round-trip
         "kg_hdt_roundtrip": _q_hdt_roundtrip,
         "kg_bgp": _q_bgp,
+        "kg_bgp_filter": _q_bgp_filter,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
+        "dd_minhash_prod": _q_dd_minhash_prod,
         "dd_ngram_jaccard": _q_dd_ngram,
         "dd_simhash": _q_dd_simhash,
         "dd_embedding": _q_dd_embedding,
@@ -377,12 +423,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_export_nt": oracles.export_nt_oracle(),
         "kg_nt_roundtrip": k("SELECT s, p, o FROM tri"),
+        "kg_ttl_roundtrip": k("SELECT s, p, o FROM tri"),
         "kg_hdt_roundtrip": k("SELECT s, p, o FROM tri"),
         "kg_bgp": oracles.bgp_oracle(rules.P_MENTIONS, rules.P_TYPE,
                                      rules.C_ENTITY),
+        "kg_bgp_filter": k(
+            f"SELECT DISTINCT s AS turn, o AS ent FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' AND contains(o, 'spark')"
+        ),
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),
-        "dd_minhash": oracles.minhash_oracle(threshold=0.7),
+        "dd_minhash": oracles.minhash_oracle(num_hashes=8, bands=4,
+                                             threshold=0.7),
+        "dd_minhash_prod": oracles.minhash_oracle(
+            num_hashes=dedup_defaults()[0], bands=dedup_defaults()[1],
+            threshold=0.7),
         "dd_ngram_jaccard": oracles.ngram_jaccard_oracle(k=5, threshold=0.5),
         **oracles.textops_oracles(),
         "dd_embedding": oracles.embedding_dedup_oracle(threshold=0.99),

@@ -233,9 +233,10 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
     spo = mat.read_table("spo")
 
     spo_fp = mat.read_manifest("spo").get("content_fingerprint", f"{dict_fp}->spo")
+    bits = encode.dict_bits(d)
     for stage, builder in [
-        ("ops", lambda: encode.ops_projection(spo)),
-        ("pso", lambda: encode.pso_projection(spo)),
+        ("ops", lambda: encode.ops_projection(spo, bits=bits)),
+        ("pso", lambda: encode.pso_projection(spo, bits=bits)),
         ("adj", lambda: bitmap_triples.adjacency(spo)),
     ]:
         if not mat.stage_complete(stage, spo_fp):

@@ -12,6 +12,10 @@ Subcommands:
     export-hdt --warehouse DIR --out F.hdt    HDT binary writer (S2)
     import-hdt --input F.hdt --warehouse DIR  HDT binary reader (S1)
     export-nt  --warehouse DIR --out DIR      N-Triples writer (S5)
+    export-ttl --warehouse DIR --out F.ttl    Turtle writer (S5, pretty,
+               [--prefix pfx=iri ...]         prefix-compacted — the
+                                              reference convert-to-ttl,
+                                              src/main.rs:142-152)
 """
 
 from __future__ import annotations
@@ -78,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     p_xnt.add_argument("--warehouse", required=True)
     p_xnt.add_argument("--out", required=True)
 
+    p_xttl = sub.add_parser("export-ttl")
+    p_xttl.add_argument("--warehouse", required=True)
+    p_xttl.add_argument("--out", required=True)
+    p_xttl.add_argument("--prefix", action="append", default=[],
+                        metavar="pfx=iri", help="extra @prefix mappings")
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -114,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         for row in res.limit(args.limit).collect():
             print(f"{row['s']} {row['p']} {row['o']} .")
 
-    elif args.cmd in ("export-hdt", "export-nt"):
+    elif args.cmd in ("export-hdt", "export-nt", "export-ttl"):
         from .checkpoint import Materializer
         kg = _load_kg(Materializer(spark, args.warehouse))
         if kg is None:
@@ -125,6 +135,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "export-hdt":
             from .hdt_binary import write_hdt_file
             write_hdt_file(kg, args.out)
+            n = kg.spo.count()
+        elif args.cmd == "export-ttl":
+            from .turtle import default_prefixes, write_ttl
+            prefixes = default_prefixes()
+            for spec in args.prefix:
+                pfx, _, iri = spec.partition("=")
+                prefixes[pfx] = iri
+            write_ttl(kg, args.out, prefixes)
             n = kg.spo.count()
         else:
             from .export import write_nt

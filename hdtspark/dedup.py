@@ -21,8 +21,17 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 SHINGLE_K = 5
-NUM_HASHES = 8
-BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+# Production LSH defaults: 128 hashes / 16 bands (r = 8 rows per band).
+# Candidate probability is the standard S-curve 1-(1-s^r)^b with its knee at
+# t* = (1/b)^(1/r) = (1/16)^(1/8) ~ 0.71: pairs with true Jaccard 0.8 are
+# banded with p ~ 0.95, 0.9 with p ~ 0.999, while 0.5-pairs stay below 0.06
+# — so a 0.7+ threshold keeps high recall with few spurious candidates.
+# (Round 2 shipped 8/4, which has its knee at 0.5 but only ~61% recall at
+# s = 0.7 — fine for the small-sf oracle, undersized for production.)
+# Both pipeline and DuckDB oracle take these as parameters; the driver
+# checks BOTH the toy and the production setting.
+NUM_HASHES = 128
+BANDS = 16
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -76,9 +85,10 @@ def lsh_bands(sigs: DataFrame, num_hashes: int = NUM_HASHES,
     ).select("doc_id", "bd.band_idx", "bd.band_val")
 
 
-def candidate_pairs(docs: DataFrame) -> DataFrame:
+def candidate_pairs(docs: DataFrame, num_hashes: int = NUM_HASHES,
+                    bands_n: int = BANDS) -> DataFrame:
     """(a, b) candidate near-dup pairs: docs sharing >=1 LSH band."""
-    bands = lsh_bands(minhash_signatures(docs))
+    bands = lsh_bands(minhash_signatures(docs, num_hashes), num_hashes, bands_n)
     left = bands.select(F.col("doc_id").alias("a"), "band_idx", "band_val")
     right = bands.select(F.col("doc_id").alias("b"), "band_idx", "band_val")
     return (
@@ -88,12 +98,16 @@ def candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.7,
+                            num_hashes: int = NUM_HASHES,
+                            bands_n: int = BANDS) -> DataFrame:
     """(a, b, jaccard): LSH candidates verified by exact shingle Jaccard.
 
     Jaccard runs only on candidate pairs (join-pruned), not all O(n²) pairs.
+    Recall is the banding S-curve (see NUM_HASHES above): with the 128/16
+    default, >= 95% of pairs at true Jaccard 0.8 become candidates.
     """
-    cands = candidate_pairs(docs)
+    cands = candidate_pairs(docs, num_hashes, bands_n)
     sh = doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 

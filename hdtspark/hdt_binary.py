@@ -240,15 +240,18 @@ class ControlInfo:
 
 # --- Log64 sequence ----------------------------------------------------------
 
-def write_sequence(fh, values: list[int]) -> None:
-    bits = bit_width(max(values)) if values else 0
+def _write_sequence_body(fh, body: bytes, bits: int, n: int) -> None:
     meta = bytearray([0x01, bits])
-    meta += vbyte_encode(len(values))
+    meta += vbyte_encode(n)
     fh.write(bytes(meta))
     fh.write(bytes([crc8(bytes(meta))]))
-    body = pack_bits(values, bits)
     fh.write(body)
     fh.write(crc32c(body).to_bytes(4, "little"))
+
+
+def write_sequence(fh, values: list[int]) -> None:
+    bits = bit_width(max(values)) if values else 0
+    _write_sequence_body(fh, pack_bits(values, bits), bits, len(values))
 
 
 def read_sequence(fh) -> list[int]:
@@ -269,14 +272,18 @@ def read_sequence(fh) -> list[int]:
 
 # --- Bitmap ------------------------------------------------------------------
 
-def write_bitmap(fh, bits: list[bool]) -> None:
+def _write_bitmap_body(fh, body: bytes, n: int) -> None:
     meta = bytearray([0x01])
-    meta += vbyte_encode(len(bits))
+    meta += vbyte_encode(n)
     fh.write(bytes(meta))
     fh.write(bytes([crc8(bytes(meta))]))
-    body = pack_bits([1 if b else 0 for b in bits], 1)
     fh.write(body)
     fh.write(crc32c(body).to_bytes(4, "little"))
+
+
+def write_bitmap(fh, bits: list[bool]) -> None:
+    _write_bitmap_body(fh, pack_bits([1 if b else 0 for b in bits], 1),
+                       len(bits))
 
 
 def read_bitmap(fh) -> list[bool]:
@@ -296,16 +303,19 @@ def read_bitmap(fh) -> list[bool]:
 
 # --- Plain-Front-Coded dictionary section ------------------------------------
 
-def pfc_compress(terms: list[str], block_size: int = BLOCK_SIZE) -> tuple[bytes, list[int]]:
-    """-> (packed bytes, block offsets incl. the final end offset).
+def pfc_compress(terms, block_size: int = BLOCK_SIZE) -> tuple[bytes, list[int]]:
+    """terms (any iterable, consumed sequentially) -> (packed bytes, block
+    offsets incl. the final end offset).
 
     Block layout (src/dict_sect_pfc.rs:351-386 semantics): every
     ``block_size``-th term is stored whole; the rest as
     vbyte(shared-prefix-len) + suffix; each term null-terminated.
+    Memory is bounded by the PACKED image (front-coded), never a term list.
     """
     packed = bytearray()
     offsets: list[int] = []
     last = b""
+    n = 0
     for i, term in enumerate(terms):
         t = term.encode()
         if i % block_size == 0:
@@ -321,15 +331,22 @@ def pfc_compress(terms: list[str], block_size: int = BLOCK_SIZE) -> tuple[bytes,
             packed += t[common:]
         packed.append(0)
         last = t
-    if terms:
+        n = i + 1
+    if n:
         offsets.append(len(packed))
     return bytes(packed), offsets
 
 
-def write_pfc_section(fh, terms: list[str], block_size: int = BLOCK_SIZE) -> None:
+def write_pfc_section(fh, terms, block_size: int = BLOCK_SIZE,
+                      n_terms: int | None = None) -> None:
+    """``terms`` may be a list or a single-pass iterator; pass ``n_terms``
+    with an iterator (the count is written before the data)."""
+    if n_terms is None:
+        terms = list(terms)
+        n_terms = len(terms)
     packed, offsets = pfc_compress(terms, block_size)
     meta = bytearray([0x02])
-    meta += vbyte_encode(len(terms))
+    meta += vbyte_encode(n_terms)
     meta += vbyte_encode(len(packed))
     meta += vbyte_encode(block_size)
     fh.write(bytes(meta))
@@ -371,6 +388,92 @@ def read_pfc_section(fh) -> list[str]:
             pos = end + 1
         terms.append(last.decode())
     return terms
+
+
+# --- header (VOID + format metadata, reference fill_header src/nt.rs:47-113
+# with the IRIs of src/vocab.rs:1-24 — all public HDT/VOID vocabulary) -------
+
+VOCAB = {
+    "HDT_CONTAINER": "http://purl.org/HDT/hdt#HDTv1",
+    "VOID_DATASET": "http://rdfs.org/ns/void#Dataset",
+    "VOID_TRIPLES": "http://rdfs.org/ns/void#triples",
+    "VOID_PROPERTIES": "http://rdfs.org/ns/void#properties",
+    "VOID_DISTINCT_SUBJECTS": "http://rdfs.org/ns/void#distinctSubjects",
+    "VOID_DISTINCT_OBJECTS": "http://rdfs.org/ns/void#distinctObjects",
+    "RDF_TYPE": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    "HDT_STATISTICAL_INFORMATION": "http://purl.org/HDT/hdt#statisticalInformation",
+    "HDT_PUBLICATION_INFORMATION": "http://purl.org/HDT/hdt#publicationInformation",
+    "HDT_FORMAT_INFORMATION": "http://purl.org/HDT/hdt#formatInformation",
+    "HDT_DICTIONARY": "http://purl.org/HDT/hdt#dictionary",
+    "HDT_TRIPLES": "http://purl.org/HDT/hdt#triples",
+    "DC_TERMS_FORMAT": "http://purl.org/dc/terms/format",
+    "HDT_NUM_TRIPLES": "http://purl.org/HDT/hdt#triplesnumTriples",
+    "HDT_TRIPLES_ORDER": "http://purl.org/HDT/hdt#triplesOrder",
+    "HDT_DICT_SHARED_SO": "http://purl.org/HDT/hdt#dictionarynumSharedSubjectObject",
+    "HDT_DICT_MAPPING": "http://purl.org/HDT/hdt#dictionarymapping",
+    "HDT_DICT_SIZE_STRINGS": "http://purl.org/HDT/hdt#dictionarysizeStrings",
+    "HDT_DICT_BLOCK_SIZE": "http://purl.org/HDT/hdt#dictionaryblockSize",
+    "HDT_TYPE_BITMAP": "http://purl.org/HDT/hdt#triplesBitmap",
+    "HDT_ORIGINAL_SIZE": "http://purl.org/HDT/hdt#originalSize",
+}
+
+
+def build_header_nt(stats: dict, file_iri: str = "file://dataset.hdt",
+                    block_size: int = BLOCK_SIZE) -> str:
+    """The full VOID + format header the reference writes on conversion
+    (fill_header, src/nt.rs:47-113): dataset-level VOID statistics, the
+    format subtree (dictionary/triples metadata), and size properties.
+
+    ``stats`` keys: num_triples, distinct_subjects, distinct_objects,
+    num_predicates, num_shared, and optionally dict_size_strings /
+    original_size.  Lines are emitted sorted for determinism.
+    """
+    v = VOCAB
+    base = f"<{file_iri}>"
+    lines: list[str] = []
+
+    def lit(s, p, o):
+        lines.append(f'{s} <{v[p]}> "{o}" .')
+
+    def ref(s, p, o):
+        lines.append(f"{s} <{v[p]}> {o} .")
+
+    lit(base, "RDF_TYPE", v["HDT_CONTAINER"])
+    lit(base, "RDF_TYPE", v["VOID_DATASET"])
+    lit(base, "VOID_TRIPLES", stats["num_triples"])
+    lit(base, "VOID_PROPERTIES", stats["num_predicates"])
+    lit(base, "VOID_DISTINCT_SUBJECTS", stats["distinct_subjects"])
+    lit(base, "VOID_DISTINCT_OBJECTS", stats["distinct_objects"])
+    ref(base, "HDT_STATISTICAL_INFORMATION", "_:statistics")
+    ref(base, "HDT_STATISTICAL_INFORMATION", "_:publicationInformation")
+    ref(base, "HDT_FORMAT_INFORMATION", "_:format")
+    ref("_:format", "HDT_DICTIONARY", "_:dictionary")
+    ref("_:format", "HDT_TRIPLES", "_:triples")
+    lit("_:dictionary", "HDT_DICT_SHARED_SO", stats["num_shared"])
+    lit("_:dictionary", "HDT_DICT_MAPPING", "1")
+    if "dict_size_strings" in stats:
+        lit("_:dictionary", "HDT_DICT_SIZE_STRINGS", stats["dict_size_strings"])
+    lit("_:dictionary", "HDT_DICT_BLOCK_SIZE", block_size)
+    lit("_:triples", "DC_TERMS_FORMAT", v["HDT_TYPE_BITMAP"])
+    lit("_:triples", "HDT_NUM_TRIPLES", stats["num_triples"])
+    lit("_:triples", "HDT_TRIPLES_ORDER", "SPO")
+    if "original_size" in stats:
+        lit("_:statistics", "HDT_ORIGINAL_SIZE", stats["original_size"])
+    return "\n".join(sorted(lines)) + "\n"
+
+
+def parse_header_nt(header_nt: str) -> dict[tuple[str, str], str]:
+    """Header N-Triples -> {(subject, predicate-IRI): object-lexical}.
+    Good enough for the header's own grammar (no embedded spaces in IRIs,
+    literals are plain integers/strings)."""
+    out: dict[tuple[str, str], str] = {}
+    for line in header_nt.splitlines():
+        line = line.strip()
+        if not line or not line.endswith("."):
+            continue
+        s, p, o = line[:-1].strip().split(" ", 2)
+        out[(s.strip("<>"), p.strip("<>"))] = o.strip().strip('"').strip("<>")
+    return out
 
 
 # --- whole-file read/write ---------------------------------------------------
@@ -458,30 +561,149 @@ def write_hdt(path: str, data: HdtData) -> None:
 
 # --- Spark bridges -----------------------------------------------------------
 
+class _BitPacker:
+    """Incremental LSB-first bitstream packer: values stream in, the packed
+    byte image accumulates per numpy chunk (chunk size is a multiple of 8,
+    so chunks concatenate byte-aligned — same bytes as one-shot pack_bits).
+    Driver memory = the packed image, never the Python value list."""
+
+    def __init__(self, bits: int):
+        self.bits, self.n = bits, 0
+        self._pend: list[int] = []
+        self._buf = bytearray()
+
+    def add(self, v: int) -> None:
+        self._pend.append(v)
+        self.n += 1
+        if len(self._pend) == _PACK_CHUNK:
+            self._buf += pack_bits(self._pend, self.bits)
+            self._pend.clear()
+
+    def body(self) -> bytes:
+        if self._pend:
+            self._buf += pack_bits(self._pend, self.bits)
+            self._pend.clear()
+        return bytes(self._buf)
+
+
+def kg_stats_for_header(kg) -> dict:
+    """The header statistics (one spo agg + one dictionary agg)."""
+    from pyspark.sql import functions as F
+
+    d = kg.dict
+    row = kg.spo.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("s", "p").alias("y_n"),
+        F.max("p").alias("max_p"),
+        F.max("o").alias("max_o"),
+    ).first()
+    size_row = d.sections_df().agg(
+        F.sum(F.octet_length("term")).alias("b")).first()
+    return {
+        "num_triples": row["n"],
+        "y_n": row["y_n"],
+        "max_p": row["max_p"] or 0,
+        "max_o": row["max_o"] or 0,
+        "num_predicates": d.n_predicates,
+        "distinct_subjects": d.n_shared + d.n_subjects,
+        "distinct_objects": d.n_shared + d.n_objects,
+        "num_shared": d.n_shared,
+        "dict_size_strings": int(size_row["b"] or 0),
+    }
+
+
+def write_hdt_file(kg, path: str, file_iri: str | None = None) -> None:
+    """S2: serialize the KG as an HDT binary file (Hdt::write analog).
+
+    STREAMING: dictionary sections and sorted triples flow through
+    ``toLocalIterator`` (one Spark partition in driver memory at a time)
+    straight into the front-coder / bit-packers, so driver memory is bounded
+    by the PACKED byte image of one section or triple layer — never a
+    Python list of the whole graph (round 2 collected everything).  The
+    header carries the reference's full VOID + format statistics
+    (fill_header, src/nt.rs:47-113).
+    """
+    d = kg.dict
+    stats = kg_stats_for_header(kg)
+    n = stats["num_triples"]
+    header = build_header_nt(stats, file_iri or f"file://{path}")
+    with open(path, "wb") as fh:
+        ControlInfo(TYPE_GLOBAL, FORMAT_CONTAINER,
+                    {"Software": "hdtspark"}).write(fh)
+        body = header.encode()
+        ControlInfo(TYPE_HEADER, "ntriples",
+                    {"length": str(len(body))}).write(fh)
+        fh.write(body)
+        ControlInfo(TYPE_DICTIONARY, FORMAT_DICT_FOUR).write(fh)
+        for sec, n_terms in ((d.shared, d.n_shared),
+                             (d.subjects, d.n_subjects),
+                             (d.predicates, d.n_predicates),
+                             (d.objects, d.n_objects)):
+            terms = (r["term"] for r in sec.orderBy("id").toLocalIterator())
+            write_pfc_section(fh, terms, n_terms=n_terms)
+        ControlInfo(TYPE_TRIPLES, FORMAT_TRIPLES_BITMAP,
+                    {"order": "1", "numTriples": str(n)}).write(fh)
+        bm_y, bm_z = _BitPacker(1), _BitPacker(1)
+        sq_y = _BitPacker(bit_width(stats["max_p"]))
+        sq_z = _BitPacker(bit_width(stats["max_o"]))
+        prev: tuple[int, int, int] | None = None
+        for i, r in enumerate(kg.spo.orderBy("s", "p", "o").toLocalIterator()):
+            s, p, o = r["s"], r["p"], r["o"]
+            if prev is not None and prev >= (s, p, o):
+                raise ValueError(
+                    f"triples must be strictly sorted SPO; violated at {i}")
+            new_pair = prev is None or (prev[0], prev[1]) != (s, p)
+            if new_pair:
+                prev_s = prev[0] if prev else 0
+                if s != prev_s and s != prev_s + 1:
+                    raise ValueError(
+                        f"subject ids must be contiguous from 1 in sorted "
+                        f"SPO order; got subject {s} after {prev_s} at {i}")
+            if prev is not None:
+                bm_z.add(1 if new_pair else 0)
+                if new_pair:
+                    bm_y.add(1 if s != prev[0] else 0)
+            if new_pair:
+                sq_y.add(p)
+            sq_z.add(o)
+            prev = (s, p, o)
+        if prev is not None:
+            bm_z.add(1)
+            bm_y.add(1)
+        if sq_y.n != stats["y_n"] or sq_z.n != n:
+            raise ValueError(
+                f"layer/statistics mismatch: y={sq_y.n} (expected "
+                f"{stats['y_n']}), z={sq_z.n} (expected {n})")
+        _write_bitmap_body(fh, bm_y.body(), bm_y.n)
+        _write_bitmap_body(fh, bm_z.body(), bm_z.n)
+        _write_sequence_body(fh, sq_y.body(), sq_y.bits, sq_y.n)
+        _write_sequence_body(fh, sq_z.body(), sq_z.bits, sq_z.n)
+
+
 def kg_to_hdt_data(kg) -> HdtData:
-    """Stream the KG's dictionary sections and sorted SPO ids to the driver
-    (toLocalIterator: one partition in memory at a time) and assemble the
-    in-memory HdtData ready for write_hdt."""
+    """Materialize the KG as in-memory HdtData (small graphs / tests; the
+    file writer streams instead — write_hdt_file)."""
     def section_terms(df):
         return [r["term"] for r in df.orderBy("id").toLocalIterator()]
 
     triples = [(r["s"], r["p"], r["o"]) for r in
                kg.spo.orderBy("s", "p", "o").toLocalIterator()]
-    header = (
-        f'_:statistics <http://rdfs.org/ns/void#triples> "{len(triples)}" .\n')
+    d = kg.dict
+    stats = {
+        "num_triples": len(triples),
+        "num_predicates": d.n_predicates,
+        "distinct_subjects": d.n_shared + d.n_subjects,
+        "distinct_objects": d.n_shared + d.n_objects,
+        "num_shared": d.n_shared,
+    }
     return HdtData(
         shared=section_terms(kg.dict.shared),
         subjects=section_terms(kg.dict.subjects),
         predicates=section_terms(kg.dict.predicates),
         objects=section_terms(kg.dict.objects),
         triples=triples,
-        header_nt=header,
+        header_nt=build_header_nt(stats),
     )
-
-
-def write_hdt_file(kg, path: str) -> None:
-    """S2: serialize the KG as an HDT binary file (Hdt::write analog)."""
-    write_hdt(path, kg_to_hdt_data(kg))
 
 
 def hdt_data_to_kg(spark, data: HdtData):
@@ -509,8 +731,8 @@ def hdt_data_to_kg(spark, data: HdtData):
     )
     spo = spark.createDataFrame(data.triples or [(0, 0, 0)],
                                 "s long, p long, o long").filter("s > 0")
-    return KG(dict=d, spo=spo, ops=encode.ops_projection(spo),
-              pso=encode.pso_projection(spo))
+    return KG(dict=d, spo=spo, ops=encode.ops_projection(spo, bits=encode.dict_bits(d)),
+              pso=encode.pso_projection(spo, bits=encode.dict_bits(d)))
 
 
 def read_hdt_spark(spark, path: str):

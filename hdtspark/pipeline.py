@@ -45,8 +45,9 @@ def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
     spo = encode.encode_triples(triples_str, d)
     if cache:
         spo = spo.cache()
-    ops = encode.ops_projection(spo)
-    pso = encode.pso_projection(spo)
+    bits = encode.dict_bits(d)
+    ops = encode.ops_projection(spo, bits=bits)
+    pso = encode.pso_projection(spo, bits=bits)
     if cache_projections:
         # Opt-in for query-heavy sessions: uncached, every ??O/?PO/?P? query
         # re-shuffles spo.  Off by default — storing two full projections

@@ -110,7 +110,18 @@ def triple_ids_with_pattern(kg: KG, s: str | None, p: str | None,
     sid, pid, oid = _lookup_ids(kg, s, p, o)
     if 0 in (sid, pid, oid):
         return None
+    return triple_ids_with_id_pattern(kg, sid, pid, oid)
 
+
+def triple_ids_with_id_pattern(kg: KG, sid: int | None = None,
+                               pid: int | None = None,
+                               oid: int | None = None) -> DataFrame:
+    """ID-level pattern entry taking IDs directly (reference
+    ``triple_ids_with_id_pattern``, src/hdt.rs:334-345 — the id-array
+    façade consumer).  ``None`` or 0 = wildcard, matching the reference's
+    0-sentinel; routing picks the projection whose leading sort column is
+    bound so the filter is a pruned scan."""
+    sid, pid, oid = (x if x else None for x in (sid, pid, oid))
     if sid is not None:
         df = kg.spo.filter(F.col("s") == sid)
         if pid is not None:

@@ -14,11 +14,18 @@ LIMIT, and BASE + UNION).
 
 Grammar (case-insensitive keywords)::
 
-    query  := (BASE <iri> | PREFIX pfx: <iri>)* SELECT proj WHERE? { group }
-              (ORDER BY ord+)? (LIMIT n)? (OFFSET n)?
+    query  := (BASE <iri> | PREFIX pfx: <iri>)* SELECT DISTINCT? proj
+              WHERE? { group } (ORDER BY ord+)? (LIMIT n)? (OFFSET n)?
     proj   := '*' | ( ?var | '(' expr AS ?var ')' )+
-    group  := bgp | { group } (UNION { group })*
+    group  := (bgp | FILTER '(' expr ')')* | { group } (UNION { group })*
     term   := <iri> | ?var | "lit"(@lang|^^<iri>)? | _:b | pfx:name | a
+
+FILTER expressions are re-serialized to Spark SQL (?var -> `var`,
+REGEX -> regexp_like, STRSTARTS/STRENDS/CONTAINS/UCASE/LCASE/STRLEN,
+&&/||/! -> AND/OR/NOT) and evaluated by Catalyst per UNION arm.  Caveat:
+comparisons operate on the canonical TERM STRINGS (typed-literal semantics
+are the full engine's job — the reference delegates them to spareval the
+same way, src/sparql.rs:45-83).
 """
 
 from __future__ import annotations
@@ -67,6 +74,22 @@ class Query:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int | None = None
+    # per-arm FILTER expressions (Spark SQL strings), aligned with groups
+    filters: list[list[str]] = field(default_factory=list)
+    distinct: bool = False
+
+
+# SPARQL builtin -> Spark SQL function (the FILTER subset; expressions are
+# delegated to Catalyst like projection expressions are)
+_SPARQL_FN = {
+    "REGEX": "regexp_like",
+    "STRSTARTS": "startswith",
+    "STRENDS": "endswith",
+    "CONTAINS": "contains",
+    "UCASE": "upper",
+    "LCASE": "lower",
+    "STRLEN": "length",
+}
 
 
 class _Parser:
@@ -139,11 +162,16 @@ class _Parser:
             else:
                 break
         self.expect_word("SELECT")
+        distinct = False
+        if self.at_word("DISTINCT"):
+            self.next()
+            distinct = True
         select = self._select_list()
         if self.at_word("WHERE"):
             self.next()
-        groups = self._group()
-        q = Query(select=select, groups=groups)
+        arms = self._group()
+        q = Query(select=select, groups=[patterns for patterns, _ in arms],
+                  filters=[flt for _, flt in arms], distinct=distinct)
         while self.peek()[0] != "eof":
             if self.at_word("ORDER"):
                 self.next()
@@ -194,11 +222,22 @@ class _Parser:
     def _expr_as(self) -> tuple[str, str]:
         """( expr AS ?var ) — expr is re-serialized as Spark SQL with
         ?var -> var; Catalyst parses/evaluates it (CONCAT, arithmetic...)."""
+        sql, var = self._read_paren_sql(allow_as=True)
+        if var is None:
+            raise ValueError("projection expression missing AS ?var")
+        return (var, sql)
+
+    def _read_paren_sql(self, allow_as: bool = False) -> tuple[str, str | None]:
+        """Read a balanced '(...)' group and re-serialize it as Spark SQL:
+        ?var -> `var`, SPARQL builtins mapped (_SPARQL_FN), &&/||/! ->
+        AND/OR/NOT.  Shared by projection expressions and FILTER."""
         assert self.next()[0] == "lparen"
         depth, parts = 1, []
         var = None
         while depth > 0:
             k, v = self.next()
+            if k == "eof":
+                raise ValueError("unbalanced ( in expression")
             if k == "lparen":
                 depth += 1
                 parts.append("(")
@@ -206,7 +245,7 @@ class _Parser:
                 depth -= 1
                 if depth > 0:
                     parts.append(")")
-            elif k in ("word", "pname") and v.upper() == "AS" and depth == 1:
+            elif allow_as and k in ("word", "pname") and v.upper() == "AS" and depth == 1:
                 kv, vv = self.next()
                 assert kv == "var", "AS needs ?var"
                 var = vv[1:]
@@ -218,17 +257,24 @@ class _Parser:
                     body = v[1:body_end].replace("'", "\\'")
                     v = f"'{body}'" + v[body_end + 1:]
                 parts.append(v)
+            elif k == "word" and v.upper() in _SPARQL_FN:
+                parts.append(_SPARQL_FN[v.upper()])
             elif k == "dot":
                 parts.append(".")
             else:
                 parts.append(v)
-        if var is None:
-            raise ValueError("projection expression missing AS ?var")
-        # re-space around commas/words; SQL is whitespace-insensitive
-        sql = " ".join(parts).replace("( ", "(").replace(" )", ")").replace(" ,", ",")
-        return (var, sql)
+        sql = " ".join(parts)
+        # multi-char operators come through as single-char tokens
+        for old, new in (("! =", "!="), ("< =", "<="), ("> =", ">="),
+                         ("& &", " AND "), ("| |", " OR ")):
+            sql = sql.replace(old, new)
+        sql = re.sub(r"(?<![!<>=])!(?!=)", " NOT ", sql)  # bare ! -> NOT
+        # re-space around commas/parens; SQL is whitespace-insensitive
+        sql = sql.replace("( ", "(").replace(" )", ")").replace(" ,", ",")
+        return sql, var
 
-    def _group(self) -> list[list[tuple[str, str, str]]]:
+    def _group(self) -> list[tuple[list[tuple[str, str, str]], list[str]]]:
+        """-> list of UNION arms, each (patterns, filter_sql_list)."""
         assert self.next()[0] == "lbrace", "expected {"
         if self.peek()[0] == "lbrace":  # { group } UNION { group } ...
             arms = self._group()
@@ -237,8 +283,15 @@ class _Parser:
                 arms += self._group()
             assert self.next()[0] == "rbrace", "expected }"
             return arms
-        patterns = []
+        patterns, filters = [], []
         while self.peek()[0] != "rbrace":
+            if self.at_word("FILTER"):
+                self.next()
+                sql, _ = self._read_paren_sql()
+                filters.append(sql)
+                if self.peek()[0] == "dot":
+                    self.next()
+                continue
             s = self.term(*self.next())
             p = self.term(*self.next())
             o = self.term(*self.next())
@@ -246,7 +299,7 @@ class _Parser:
             if self.peek()[0] == "dot":
                 self.next()
         self.next()  # rbrace
-        return [patterns]
+        return [(patterns, filters)]
 
 
 def parse(q: str) -> Query:
@@ -258,10 +311,18 @@ def query_df(kg: KG, q: str) -> DataFrame:
     projected variable (the reference's QueryResults::Solutions analog)."""
     from . import sparql as bgp_mod
 
+    from pyspark.sql import functions as F
+
     ast = parse(q)
     arms = []
-    for patterns in ast.groups:
-        arms.append(bgp_mod.bgp(kg, patterns))
+    for i, patterns in enumerate(ast.groups):
+        arm = bgp_mod.bgp(kg, patterns)
+        # FILTER scopes to its group: apply per arm, before the UNION.
+        # Expressions are Spark SQL (translated by the parser) — Catalyst
+        # evaluates them over the arm's variable columns.
+        for fsql in (ast.filters[i] if i < len(ast.filters) else []):
+            arm = arm.where(F.expr(fsql))
+        arms.append(arm)
     df = arms[0]
     for other in arms[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
@@ -275,7 +336,7 @@ def query_df(kg: KG, q: str) -> DataFrame:
         proj = ", ".join(
             f"{expr} AS `{var}`" if expr else f"`{var}`"
             for var, expr in ast.select)
-    sql = f"SELECT {proj} FROM {view}"
+    sql = f"SELECT {'DISTINCT ' if ast.distinct else ''}{proj} FROM {view}"
     if ast.order_by:
         sql += " ORDER BY " + ", ".join(
             f"`{v}`{' DESC' if d else ''}" for v, d in ast.order_by)

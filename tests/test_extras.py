@@ -31,11 +31,25 @@ def test_exact_duplicates(docs):
 
 
 def test_minhash_finds_exact_and_near(docs):
+    # toy 8/4 setting: S-curve knee at (1/4)^(1/2) = 0.5, so a 0.5-Jaccard
+    # near-dup pair is banded with good probability
     pairs = {(r["a"], r["b"]): r["jaccard"]
-             for r in dedup.near_duplicates_minhash(docs, threshold=0.5).collect()}
+             for r in dedup.near_duplicates_minhash(
+                 docs, threshold=0.5, num_hashes=8, bands_n=4).collect()}
     assert pairs[(0, 1)] == 1.0
     # near-dup (one token differs) shares most 5-gram shingles
     assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_minhash_production_setting(docs):
+    # production 128/16: knee at (1/16)^(1/8) ~ 0.71 — exact duplicates are
+    # always banded (identical signatures); sub-knee pairs may drop out,
+    # which is the documented recall curve, not a bug
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.near_duplicates_minhash(
+                 docs, threshold=0.7).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert all(j >= 0.7 for j in pairs.values())
 
 
 def test_ngram_jaccard_exact_values(docs):

@@ -202,3 +202,45 @@ def test_pack_bits_large_is_linear_not_quadratic():
     assert got == vals
     assert len(packed) == (24 * len(vals) + 7) // 8
     assert time.monotonic() - t0 < 10.0
+
+
+# --- streaming writer + full VOID header ---------------------------------------
+
+def test_write_hdt_file_streaming_matches_in_memory(spark, kg, tmp_path):
+    """The streaming writer and the in-memory writer produce files with
+    identical decoded content (sections, triples) and a full VOID header."""
+    p_stream = str(tmp_path / "stream.hdt")
+    p_mem = str(tmp_path / "mem.hdt")
+    hb.write_hdt_file(kg, p_stream)
+    hb.write_hdt(p_mem, hb.kg_to_hdt_data(kg))
+    a, b = hb.read_hdt(p_stream), hb.read_hdt(p_mem)
+    assert (a.shared, a.subjects, a.predicates, a.objects) == \
+        (b.shared, b.subjects, b.predicates, b.objects)
+    assert a.triples == b.triples
+
+
+def test_exported_header_carries_void_stats(spark, kg, tmp_path):
+    """fill_header parity (reference src/nt.rs:47-113): the exported header
+    parses back and matches the graph's own VOID statistics."""
+    from hdtspark import metrics
+
+    path = str(tmp_path / "hdr.hdt")
+    hb.write_hdt_file(kg, path)
+    data = hb.read_hdt(path)
+    props = hb.parse_header_nt(data.header_nt)
+    void = {r["key"]: r["value"]
+            for r in metrics.void_stats_df(kg.spo).collect()}
+
+    base = f"file://{path}"
+    v = hb.VOCAB
+    assert props[(base, v["VOID_TRIPLES"])] == str(void["num_triples"])
+    assert props[(base, v["VOID_PROPERTIES"])] == str(void["num_predicates"])
+    assert props[(base, v["VOID_DISTINCT_SUBJECTS"])] == str(void["distinct_subjects"])
+    assert props[(base, v["VOID_DISTINCT_OBJECTS"])] == str(void["distinct_objects"])
+    assert props[("_:dictionary", v["HDT_DICT_SHARED_SO"])] == str(kg.dict.n_shared)
+    assert props[("_:dictionary", v["HDT_DICT_MAPPING"])] == "1"
+    assert props[("_:dictionary", v["HDT_DICT_BLOCK_SIZE"])] == str(hb.BLOCK_SIZE)
+    assert int(props[("_:dictionary", v["HDT_DICT_SIZE_STRINGS"])]) > 0
+    assert props[("_:triples", v["HDT_TRIPLES_ORDER"])] == "SPO"
+    assert props[("_:triples", v["DC_TERMS_FORMAT"])] == v["HDT_TYPE_BITMAP"]
+    assert props[("_:triples", v["HDT_NUM_TRIPLES"])] == str(void["num_triples"])

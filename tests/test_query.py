@@ -91,3 +91,19 @@ def test_sample_objects_equal_filtered_scan(kg, golden_oracle):
     for oid in range(1, n_obj + 1, 211):
         o = golden_oracle.object_str(oid)
         assert _got(kg, o=o) == _exp(golden_oracle, o=o)
+
+
+def test_triple_ids_with_id_pattern(kg, golden_oracle):
+    """ID-taking entry (reference src/hdt.rs:334-345): 0/None = wildcard."""
+    from hdtspark import query as q
+
+    # pick a real subject id via the dictionary
+    row = kg.dict.subj_global.orderBy("id").first()
+    sid = row["id"]
+    by_id = sorted(map(tuple, q.triple_ids_with_id_pattern(kg, sid=sid).collect()))
+    by_str = sorted(map(tuple, q.triple_ids_with_pattern(
+        kg, row["term"], None, None).collect()))
+    assert by_id == by_str and by_id
+    # 0-sentinel behaves as wildcard, matching the reference
+    assert q.triple_ids_with_id_pattern(kg, 0, 0, 0).count() == \
+        len(golden_oracle.spo)

@@ -81,3 +81,65 @@ def test_parse_errors():
         parse("SELECT { ?s ?p ?o }")
     with pytest.raises(ValueError):
         parse("SELECT ?x { ?x unknown:p ?y }")
+
+
+def test_filter_comparison_and_logic(kg, golden_oracle):
+    """FILTER with string comparison and && (delegated to Catalyst)."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    objs = sorted({o for _, _, o in mentions})
+    cut = objs[len(objs) // 2]
+    rows = sparql.query(
+        kg,
+        f'SELECT ?t ?e {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'FILTER (?e >= "{cut}" && ?e != "{objs[-1]}") }}').collect()
+    expected = {(s, o) for s, _, o in mentions if o >= cut and o != objs[-1]}
+    assert {(r["t"], r["e"]) for r in rows} == expected
+    assert rows
+
+
+def test_filter_regex_and_strstarts(kg, golden_oracle):
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    rows = sparql.query(
+        kg,
+        f'SELECT ?e {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'FILTER (REGEX(?e, "spark")) }}').collect()
+    assert {r["e"] for r in rows} == {o for _, _, o in mentions if "spark" in o}
+
+    rows2 = sparql.query(
+        kg,
+        f'SELECT ?e {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'FILTER (STRSTARTS(?e, "{rules.BASE}/e/")) }}').collect()
+    assert {r["e"] for r in rows2} == {o for _, _, o in mentions}
+
+
+def test_filter_negation(kg, golden_oracle):
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    rows = sparql.query(
+        kg,
+        f'SELECT ?e {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'FILTER (!CONTAINS(?e, "spark")) }}').collect()
+    assert {r["e"] for r in rows} == \
+        {o for _, _, o in mentions if "spark" not in o}
+
+
+def test_select_distinct(kg, golden_oracle):
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    rows = sparql.query(
+        kg, f"SELECT DISTINCT ?e {{ ?t <{rules.P_MENTIONS}> ?e }}").collect()
+    vals = [r["e"] for r in rows]
+    assert len(vals) == len(set(vals))
+    assert set(vals) == {o for _, _, o in mentions}
+
+
+def test_filter_scopes_to_union_arm(kg, golden_oracle):
+    """FILTER inside one UNION arm must not constrain the other arm."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    typed = golden_oracle.pattern(None, rules.P_TYPE, rules.C_ENTITY)
+    rows = sparql.query(
+        kg,
+        f'SELECT ?e {{ {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'FILTER (CONTAINS(?e, "spark")) }} '
+        f'UNION {{ ?e a <{rules.C_ENTITY}> }} }}').collect()
+    expected_multiset_size = (
+        len([1 for _, _, o in mentions if "spark" in o]) + len(typed))
+    assert len(rows) == expected_multiset_size
