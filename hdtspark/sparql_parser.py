@@ -17,7 +17,8 @@ Grammar (case-insensitive keywords)::
     query  := (BASE <iri> | PREFIX pfx: <iri>)* SELECT DISTINCT? proj
               WHERE? { group } (ORDER BY ord+)? (LIMIT n)? (OFFSET n)?
     proj   := '*' | ( ?var | '(' expr AS ?var ')' )+
-    group  := (bgp | FILTER '(' expr ')')* | { group } (UNION { group })*
+    group  := (bgp | FILTER '(' expr ')' | OPTIONAL { bgp })*
+            | { group } (UNION { group })*
     term   := <iri> | ?var | "lit"(@lang|^^<iri>)? | _:b | pfx:name | a
 
 FILTER expressions are re-serialized to Spark SQL (?var -> `var`,
@@ -41,7 +42,8 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _TOKEN = re.compile(
     r"""
-    (?P<iri>  <[^>]*> )
+    (?P<iri>  <[^>\s]*> )   # no whitespace inside: a bare '<' comparison
+                            # in FILTER can never be swallowed as an IRI
   | (?P<lit>  "(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>)?
             | '(?:[^'\\]|\\.)*'(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>)? )
   | (?P<var>  \?[A-Za-z_]\w* )
@@ -76,6 +78,8 @@ class Query:
     offset: int | None = None
     # per-arm FILTER expressions (Spark SQL strings), aligned with groups
     filters: list[list[str]] = field(default_factory=list)
+    # per-arm OPTIONAL pattern groups (left joins), aligned with groups
+    optionals: list[list[list[tuple[str, str, str]]]] = field(default_factory=list)
     distinct: bool = False
 
 
@@ -170,8 +174,9 @@ class _Parser:
         if self.at_word("WHERE"):
             self.next()
         arms = self._group()
-        q = Query(select=select, groups=[patterns for patterns, _ in arms],
-                  filters=[flt for _, flt in arms], distinct=distinct)
+        q = Query(select=select, groups=[patterns for patterns, _, _ in arms],
+                  filters=[flt for _, flt, _ in arms],
+                  optionals=[opt for _, _, opt in arms], distinct=distinct)
         while self.peek()[0] != "eof":
             if self.at_word("ORDER"):
                 self.next()
@@ -273,8 +278,8 @@ class _Parser:
         sql = sql.replace("( ", "(").replace(" )", ")").replace(" ,", ",")
         return sql, var
 
-    def _group(self) -> list[tuple[list[tuple[str, str, str]], list[str]]]:
-        """-> list of UNION arms, each (patterns, filter_sql_list)."""
+    def _group(self):
+        """-> list of UNION arms, each (patterns, filter_sqls, optionals)."""
         assert self.next()[0] == "lbrace", "expected {"
         if self.peek()[0] == "lbrace":  # { group } UNION { group } ...
             arms = self._group()
@@ -283,12 +288,23 @@ class _Parser:
                 arms += self._group()
             assert self.next()[0] == "rbrace", "expected }"
             return arms
-        patterns, filters = [], []
+        patterns, filters, optionals = [], [], []
         while self.peek()[0] != "rbrace":
             if self.at_word("FILTER"):
                 self.next()
                 sql, _ = self._read_paren_sql()
                 filters.append(sql)
+                if self.peek()[0] == "dot":
+                    self.next()
+                continue
+            if self.at_word("OPTIONAL"):
+                self.next()
+                inner = self._group()
+                if len(inner) != 1 or inner[0][1] or inner[0][2]:
+                    raise ValueError(
+                        "OPTIONAL supports a plain pattern group (no nested "
+                        "UNION/FILTER/OPTIONAL)")
+                optionals.append(inner[0][0])
                 if self.peek()[0] == "dot":
                     self.next()
                 continue
@@ -299,7 +315,7 @@ class _Parser:
             if self.peek()[0] == "dot":
                 self.next()
         self.next()  # rbrace
-        return [(patterns, filters)]
+        return [(patterns, filters, optionals)]
 
 
 def parse(q: str) -> Query:
@@ -317,6 +333,13 @@ def query_df(kg: KG, q: str) -> DataFrame:
     arms = []
     for i, patterns in enumerate(ast.groups):
         arm = bgp_mod.bgp(kg, patterns)
+        # OPTIONAL = left outer join on the shared variables (unmatched
+        # rows keep nulls for the optional-only variables)
+        for opt_patterns in (ast.optionals[i] if i < len(ast.optionals) else []):
+            odf = bgp_mod.bgp(kg, opt_patterns)
+            common = [c for c in arm.columns if c in odf.columns]
+            arm = (arm.join(odf, on=common, how="left") if common
+                   else arm.join(odf, F.lit(True), "left"))
         # FILTER scopes to its group: apply per arm, before the UNION.
         # Expressions are Spark SQL (translated by the parser) — Catalyst
         # evaluates them over the arm's variable columns.

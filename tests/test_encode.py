@@ -53,3 +53,27 @@ def test_partitions_are_range_sorted(kg):
         return iter(())
 
     kg.spo.rdd.mapPartitions(lambda it: check(it)).count()
+
+
+def test_packed_exchange_matches_unpacked(spark):
+    """Packed single-long exchange == 3-column exchange: same dedup, same
+    global (s,p,o) order, same values (order-preserving collision-free
+    packing)."""
+    import random
+
+    from hdtspark import encode
+
+    rnd = random.Random(7)
+    rows = [(rnd.randint(1, 40), rnd.randint(1, 7), rnd.randint(1, 90))
+            for _ in range(500)] * 2  # duplicates included
+    df = spark.createDataFrame(rows, "s long, p long, o long")
+    bits = (40 .bit_length(), 7 .bit_length(), 90 .bit_length())
+    packed = encode._packed_exchange(df, ["s", "p", "o"], bits, 4)
+    expected = sorted(set(rows))
+    assert [tuple(r) for r in packed.collect()] == expected
+
+    # projection order too: (o, p, s) packing sorts by that key
+    ops = encode._packed_exchange(df.select("o", "p", "s").distinct(),
+                                  ["o", "p", "s"], bits, 4, dedup=False)
+    assert [tuple(r) for r in ops.collect()] == \
+        sorted({(o, p, s) for s, p, o in rows})

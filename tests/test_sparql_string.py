@@ -143,3 +143,29 @@ def test_filter_scopes_to_union_arm(kg, golden_oracle):
     expected_multiset_size = (
         len([1 for _, _, o in mentions if "spark" in o]) + len(typed))
     assert len(rows) == expected_multiset_size
+
+
+def test_optional_left_join(kg, golden_oracle):
+    """OPTIONAL keeps unmatched rows with nulls for optional-only vars."""
+    roles = golden_oracle.pattern(None, rules.P_ROLE, None)
+    tools = {s: o for s, _, o in golden_oracle.pattern(None, rules.P_TOOL, None)}
+    rows = sparql.query(
+        kg,
+        f'SELECT ?t ?tool {{ ?t <{rules.P_ROLE}> ?r . '
+        f'OPTIONAL {{ ?t <{rules.P_TOOL}> ?tool }} }}').collect()
+    got = {(r["t"], r["tool"]) for r in rows}
+    expected = {(s, tools.get(s)) for s, _, _ in roles}
+    assert got == expected
+    assert any(v is None for _, v in got)      # some turns have no tool
+    assert any(v is not None for _, v in got)  # and some do
+
+
+def test_parse_optional_and_lt_comparison():
+    """Parse-level: OPTIONAL groups land in q.optionals; a bare '<'
+    comparison in FILTER is not mis-lexed as an IRI opener."""
+    q = parse("SELECT ?x { ?x <http://p> ?y . OPTIONAL { ?y <http://q> ?z } "
+              'FILTER (STRLEN(?y) < 5 && ?x > "a") }')
+    assert q.groups == [[("?x", "http://p", "?y")]]
+    assert q.optionals == [[[("?y", "http://q", "?z")]]]
+    (f,), = q.filters
+    assert "length" in f and "< 5" in f and "AND" in f and "`x` > 'a'" in f
