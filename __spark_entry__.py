@@ -285,6 +285,13 @@ def _q_bgp_filter(spark, sf_dir):
         'FILTER (CONTAINS(?ent, "spark")) }'))
 
 
+def _q_sparql_agg(spark, sf_dir):
+    """§2.5/§2.6: SPARQL GROUP BY aggregate delegated to Catalyst."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir),
+                        "SELECT ?p (COUNT(*) AS ?n) { ?s ?p ?o } GROUP BY ?p")
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -337,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hdt_roundtrip": _q_hdt_roundtrip,
         "kg_bgp": _q_bgp,
         "kg_bgp_filter": _q_bgp_filter,
+        "kg_sparql_agg": _q_sparql_agg,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
@@ -431,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT s AS turn, o AS ent FROM tri "
             f"WHERE p = '{rules.P_MENTIONS}' AND contains(o, 'spark')"
         ),
+        "kg_sparql_agg": k("SELECT p, COUNT(*) AS n FROM tri GROUP BY p"),
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),
         "dd_minhash": oracles.minhash_oracle(num_hashes=8, bands=4,

@@ -12,6 +12,9 @@ Subcommands:
     export-hdt --warehouse DIR --out F.hdt    HDT binary writer (S2)
     import-hdt --input F.hdt --warehouse DIR  HDT binary reader (S1)
     export-nt  --warehouse DIR --out DIR      N-Triples writer (S5)
+    import-nt  --input F.nt --warehouse DIR   NT -> KG conversion (S3/S4,
+                                              the reference convert-from-nt,
+                                              src/main.rs:122-133)
     export-ttl --warehouse DIR --out F.ttl    Turtle writer (S5, pretty,
                [--prefix pfx=iri ...]         prefix-compacted — the
                                               reference convert-to-ttl,
@@ -77,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     p_ihdt = sub.add_parser("import-hdt")
     p_ihdt.add_argument("--input", required=True)
     p_ihdt.add_argument("--warehouse", required=True)
+
+    p_int = sub.add_parser("import-nt")
+    p_int.add_argument("--input", required=True, help=".nt file or dir")
+    p_int.add_argument("--warehouse", required=True)
 
     p_xnt = sub.add_parser("export-nt")
     p_xnt.add_argument("--warehouse", required=True)
@@ -149,6 +156,30 @@ def main(argv: list[str] | None = None) -> int:
             write_nt(kg, args.out)
             n = spark.read.text(args.out).count()
         print(json.dumps({"written": args.out, "triples": n}))
+
+    elif args.cmd == "import-nt":
+        # The reference CLI's convert-from-.nt path (Hdt::read_nt,
+        # src/main.rs:122-133): distributed NT parse -> full dict/encode
+        # pipeline -> warehouse stages.
+        from .checkpoint import Materializer
+        from .pipeline import build_kg_from_triples
+        from .sources import read_nt
+        kg = build_kg_from_triples(read_nt(spark, args.input))
+        in_fp = f"nt:{args.input}"
+        mat = Materializer(spark, args.warehouse)
+        mat.write_stage(
+            "dict", kg.dict.sections_df(), in_fp,
+            extra={"n_shared": kg.dict.n_shared,
+                   "n_subjects": kg.dict.n_subjects,
+                   "n_predicates": kg.dict.n_predicates,
+                   "n_objects": kg.dict.n_objects})
+        mat.write_stage("spo", kg.spo, in_fp)
+        mat.write_stage("ops", kg.ops, in_fp)
+        mat.write_stage("pso", kg.pso, in_fp)
+        kg.unpersist()
+        print(json.dumps({
+            "stages": [{"stage": r.name, "skipped": r.skipped,
+                        "rows": r.rows} for r in mat.results]}))
 
     elif args.cmd == "import-hdt":
         import hashlib

@@ -15,7 +15,8 @@ LIMIT, and BASE + UNION).
 Grammar (case-insensitive keywords)::
 
     query  := (BASE <iri> | PREFIX pfx: <iri>)* SELECT DISTINCT? proj
-              WHERE? { group } (ORDER BY ord+)? (LIMIT n)? (OFFSET n)?
+              WHERE? { group } (GROUP BY ?var+)? (HAVING '(' expr ')')*
+              (ORDER BY ord+)? (LIMIT n)? (OFFSET n)?
     proj   := '*' | ( ?var | '(' expr AS ?var ')' )+
     group  := (bgp | FILTER '(' expr ')' | OPTIONAL { bgp })*
             | { group } (UNION { group })*
@@ -81,6 +82,8 @@ class Query:
     # per-arm OPTIONAL pattern groups (left joins), aligned with groups
     optionals: list[list[list[tuple[str, str, str]]]] = field(default_factory=list)
     distinct: bool = False
+    group_by: list[str] = field(default_factory=list)   # var names
+    having: list[str] = field(default_factory=list)     # Spark SQL strings
 
 
 # SPARQL builtin -> Spark SQL function (the FILTER subset; expressions are
@@ -178,7 +181,18 @@ class _Parser:
                   filters=[flt for _, flt, _ in arms],
                   optionals=[opt for _, _, opt in arms], distinct=distinct)
         while self.peek()[0] != "eof":
-            if self.at_word("ORDER"):
+            if self.at_word("GROUP"):
+                self.next()
+                self.expect_word("BY")
+                while self.peek()[0] == "var":
+                    q.group_by.append(self.next()[1][1:])
+                if not q.group_by:
+                    raise ValueError("GROUP BY needs at least one ?var")
+            elif self.at_word("HAVING"):
+                self.next()
+                sql, _ = self._read_paren_sql()
+                q.having.append(sql)
+            elif self.at_word("ORDER"):
                 self.next()
                 self.expect_word("BY")
                 while True:
@@ -360,6 +374,11 @@ def query_df(kg: KG, q: str) -> DataFrame:
             f"{expr} AS `{var}`" if expr else f"`{var}`"
             for var, expr in ast.select)
     sql = f"SELECT {'DISTINCT ' if ast.distinct else ''}{proj} FROM {view}"
+    if ast.group_by:
+        sql += " GROUP BY " + ", ".join(f"`{v}`" for v in ast.group_by)
+    if ast.having:
+        # SPARQL HAVING = SQL HAVING (post-aggregation filter)
+        sql += " HAVING " + " AND ".join(f"({h})" for h in ast.having)
     if ast.order_by:
         sql += " ORDER BY " + ", ".join(
             f"`{v}`{' DESC' if d else ''}" for v, d in ast.order_by)

@@ -169,3 +169,33 @@ def test_parse_optional_and_lt_comparison():
     assert q.optionals == [[[("?y", "http://q", "?z")]]]
     (f,), = q.filters
     assert "length" in f and "< 5" in f and "AND" in f and "`x` > 'a'" in f
+
+
+def test_group_by_count(kg, golden_oracle):
+    """SPARQL aggregates delegate to Catalyst: GROUP BY + COUNT."""
+    from collections import Counter
+    rows = sparql.query(
+        kg,
+        "SELECT ?p (COUNT(*) AS ?n) { ?s ?p ?o } GROUP BY ?p ORDER BY ?p"
+    ).collect()
+    expected = Counter(p for _, p, _ in golden_oracle.spo_str())
+    assert [(r["p"], r["n"]) for r in rows] == \
+        [(p, expected[p]) for p in sorted(expected)]
+
+
+def test_group_by_having_and_min(kg, golden_oracle):
+    rows = sparql.query(
+        kg,
+        f'SELECT ?e (COUNT(*) AS ?n) (MIN(?t) AS ?first) '
+        f'{{ ?t <{rules.P_MENTIONS}> ?e }} '
+        f'GROUP BY ?e HAVING (COUNT(*) >= 5) ORDER BY ?e').collect()
+    from collections import Counter, defaultdict
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    cnt = Counter(o for _, _, o in mentions)
+    first = defaultdict(lambda: None)
+    for s, _, o in sorted(mentions):
+        if first[o] is None:
+            first[o] = s
+    expected = [(e, cnt[e], first[e]) for e in sorted(cnt) if cnt[e] >= 5]
+    assert [(r["e"], r["n"], r["first"]) for r in rows] == expected
+    assert rows
