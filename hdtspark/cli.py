@@ -8,6 +8,8 @@ Subcommands:
     synth      --n-conv N --out DIR           generate a transcript corpus
     build      --input DIR --warehouse DIR    (resumable) KG materialization
     query      --warehouse DIR [-s S] [-p P] [-o O] [--limit N]
+               [--sparql QUERY]  SPARQL SELECT (BGP/UNION/OPTIONAL/FILTER/
+                                 DISTINCT/GROUP BY/ORDER BY/LIMIT)
     info       --warehouse DIR                VOID stats + stage manifests
     export-hdt --warehouse DIR --out F.hdt    HDT binary writer (S2)
     import-hdt --input F.hdt --warehouse DIR  HDT binary reader (S1)
@@ -69,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("-p", default=None)
     p_query.add_argument("-o", default=None)
     p_query.add_argument("--limit", type=int, default=20)
+    p_query.add_argument("--sparql", default=None, metavar="QUERY",
+                         help="SPARQL SELECT string instead of -s/-p/-o")
 
     p_info = sub.add_parser("info")
     p_info.add_argument("--warehouse", required=True)
@@ -127,9 +131,18 @@ def main(argv: list[str] | None = None) -> int:
                   "(run `build` first)", file=sys.stderr)
             spark.stop()
             return 2
-        res = triples_with_pattern(kg, args.s, args.p, args.o)
-        for row in res.limit(args.limit).collect():
-            print(f"{row['s']} {row['p']} {row['o']} .")
+        if args.sparql:
+            from .sparql import query as sparql_query
+            res = sparql_query(kg, args.sparql)
+            cols = res.columns
+            print("\t".join(cols))
+            for row in res.limit(args.limit).collect():
+                print("\t".join("" if row[c] is None else str(row[c])
+                                for c in cols))
+        else:
+            res = triples_with_pattern(kg, args.s, args.p, args.o)
+            for row in res.limit(args.limit).collect():
+                print(f"{row['s']} {row['p']} {row['o']} .")
 
     elif args.cmd in ("export-hdt", "export-nt", "export-ttl"):
         from .checkpoint import Materializer

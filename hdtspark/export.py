@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .query import KG, ids_to_strings
+from .query import KG
 
 # Greedy (?s) lexical match: the LAST quote that leaves a valid suffix ends
 # the lexical form, so raw inner quotes parse correctly.

@@ -100,10 +100,6 @@ def _lookup_ids(kg: KG, s: str | None, p: str | None, o: str | None):
     return sid, pid, oid
 
 
-def _empty_result(spark) -> DataFrame:
-    return spark.createDataFrame([], "s string, p string, o string")
-
-
 def triple_ids_with_pattern(kg: KG, s: str | None, p: str | None,
                             o: str | None) -> DataFrame | None:
     """ID-level pattern query; None means the empty short-circuit fired."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .query import KG, ids_to_strings
+from .query import KG
 
 
 def query(kg: KG, q: str) -> DataFrame:

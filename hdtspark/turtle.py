@@ -168,6 +168,7 @@ class _TtlParser:
         self.base = ""
         self.prefixes: dict[str, str] = {}
         self.triples: list[tuple[str, str, str]] = []
+        self._anon = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
@@ -231,26 +232,46 @@ class _TtlParser:
             self._statement()
         return self.triples
 
-    def _statement(self) -> None:
-        s = self.term(*self.next())
+    def _node(self) -> str:
+        """A subject/object node: plain term or anonymous blank node
+        '[ p o ; ... ]' (fresh _:anonN label; inner triples recorded)."""
+        if self.peek() == ("punct", "["):
+            self.next()
+            self._anon += 1
+            label = f"_:anon{self._anon}"
+            if self.peek() != ("punct", "]"):
+                end = self._pred_obj_list(label)
+                if end != ("punct", "]"):
+                    raise ValueError("unterminated [ ] blank node")
+            else:
+                self.next()
+            return label
+        return self.term(*self.next())
+
+    def _pred_obj_list(self, s: str):
+        """predicate-object list for subject ``s``; consumes and returns the
+        terminating token ('.' or ']')."""
         while True:
             p = self.term(*self.next(), predicate=True)
             while True:
-                o = self.term(*self.next())
+                o = self._node()
                 self.triples.append((s, p, o))
                 k, v = self.next()
                 if (k, v) == ("punct", ","):
                     continue
                 break
             if (k, v) == ("punct", ";"):
-                # allow trailing ';' before '.'
-                if self.peek() == ("punct", "."):
-                    k, v = self.next()
-                    break
+                # allow trailing ';' before the terminator
+                if self.peek() in (("punct", "."), ("punct", "]")):
+                    return self.next()
                 continue
-            break
-        if (k, v) != ("punct", "."):
-            raise ValueError(f"statement must end with '.', got {v!r}")
+            return (k, v)
+
+    def _statement(self) -> None:
+        s = self._node()
+        end = self._pred_obj_list(s)
+        if end != ("punct", "."):
+            raise ValueError(f"statement must end with '.', got {end[1]!r}")
 
 
 def parse_ttl(text: str) -> list[tuple[str, str, str]]:

@@ -83,3 +83,23 @@ def test_ttl_roundtrip_hostile_literals(spark, tmp_path):
     got = sorted(turtle.parse_ttl(open(path, encoding="utf-8").read()))
     assert got == sorted(set(hostile))
     kg.unpersist()
+
+
+def test_parse_anonymous_blank_nodes():
+    got = turtle.parse_ttl(f"""
+@prefix ex: <{X}> .
+ex:s ex:knows [ ex:name "Ann" ; ex:age 7 ], [ ex:name "Bo" ] .
+ex:t ex:empty [] .
+""")
+    by_p = {}
+    for s, p, o in got:
+        by_p.setdefault(p, []).append((s, o))
+    knows = by_p[f"{X}knows"]
+    assert len(knows) == 2 and all(o.startswith("_:anon") for _, o in knows)
+    names = dict((s, o) for s, o in by_p[f"{X}name"])
+    anns = [s for s, o in by_p[f"{X}name"] if o == '"Ann"']
+    assert len(anns) == 1
+    # the nested triples hang off the same fresh label the object refers to
+    assert anns[0] in {o for _, o in knows}
+    assert by_p[f"{X}age"][0][0] == anns[0]
+    assert by_p[f"{X}empty"][0][1].startswith("_:anon")
