@@ -60,3 +60,22 @@ def test_triple_layers_roundtrip(triples):
     spo = sorted({(remap[s], p, o) for s, p, o in triples})
     layers = hb._triples_to_layers(spo)
     assert hb._layers_to_triples(*layers) == spo
+
+
+@settings(max_examples=40)
+@given(st.lists(st.integers(0, 2**24 - 1), min_size=0, max_size=60),
+       st.integers(1, 64))
+def test_pack_bits_chunking_is_byte_exact(vals, bits):
+    """Chunked packing == one-shot packing for any chunk size that is a
+    multiple of 8 (no cross-chunk bit carries)."""
+    import hdtspark.hdt_binary as hb2
+    vals = [v & ((1 << bits) - 1) for v in vals]
+    whole = hb2.pack_bits(vals, bits)
+    old = hb2._PACK_CHUNK
+    try:
+        hb2._PACK_CHUNK = 8  # force many chunk boundaries
+        chunked = hb2.pack_bits(vals, bits)
+        assert chunked == whole
+        assert hb2.unpack_bits(chunked, bits, len(vals)) == vals
+    finally:
+        hb2._PACK_CHUNK = old
