@@ -14,7 +14,8 @@ LIMIT, and BASE + UNION).
 
 Grammar (case-insensitive keywords)::
 
-    query  := (BASE <iri> | PREFIX pfx: <iri>)* SELECT DISTINCT? proj
+    query  := (BASE <iri> | PREFIX pfx: <iri>)*
+              ( SELECT DISTINCT? proj | ASK )
               WHERE? { group } (GROUP BY ?var+)? (HAVING '(' expr ')')*
               (ORDER BY ord+)? (LIMIT n)? (OFFSET n)?
     proj   := '*' | ( ?var | '(' expr AS ?var ')' )+
@@ -84,6 +85,7 @@ class Query:
     distinct: bool = False
     group_by: list[str] = field(default_factory=list)   # var names
     having: list[str] = field(default_factory=list)     # Spark SQL strings
+    form: str = "select"                                # 'select' | 'ask'
 
 
 # SPARQL builtin -> Spark SQL function (the FILTER subset; expressions are
@@ -168,18 +170,26 @@ class _Parser:
                 self.prefixes[v[:-1]] = v2[1:-1]
             else:
                 break
-        self.expect_word("SELECT")
-        distinct = False
-        if self.at_word("DISTINCT"):
+        form = "select"
+        if self.at_word("ASK"):
             self.next()
-            distinct = True
-        select = self._select_list()
+            select = [("*", None)]
+            form = "ask"
+        else:
+            self.expect_word("SELECT")
+        distinct = False
+        if form == "select":
+            if self.at_word("DISTINCT"):
+                self.next()
+                distinct = True
+            select = self._select_list()
         if self.at_word("WHERE"):
             self.next()
         arms = self._group()
         q = Query(select=select, groups=[patterns for patterns, _, _ in arms],
                   filters=[flt for _, flt, _ in arms],
-                  optionals=[opt for _, _, opt in arms], distinct=distinct)
+                  optionals=[opt for _, _, opt in arms], distinct=distinct,
+                  form=form)
         while self.peek()[0] != "eof":
             if self.at_word("GROUP"):
                 self.next()
@@ -363,6 +373,11 @@ def query_df(kg: KG, q: str) -> DataFrame:
     df = arms[0]
     for other in arms[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
+
+    if ast.form == "ask":
+        # boolean result as a 1-row DataFrame (true iff any solution)
+        return df.limit(1).groupBy().agg(
+            (F.count("*") > 0).alias("ask"))
 
     spark = df.sparkSession
     view = "hdt_sparql_tmp"

@@ -76,7 +76,7 @@ def test_select_star_and_a_keyword(kg, golden_oracle):
 
 def test_parse_errors():
     with pytest.raises(ValueError):
-        parse("ASK { ?s ?p ?o }")
+        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
     with pytest.raises(ValueError):
         parse("SELECT { ?s ?p ?o }")
     with pytest.raises(ValueError):
@@ -199,3 +199,11 @@ def test_group_by_having_and_min(kg, golden_oracle):
     expected = [(e, cnt[e], first[e]) for e in sorted(cnt) if cnt[e] >= 5]
     assert [(r["e"], r["n"], r["first"]) for r in rows] == expected
     assert rows
+
+
+def test_ask_form(kg):
+    """ASK returns a single boolean row (true iff any solution exists)."""
+    assert sparql.query(
+        kg, f"ASK {{ ?t <{rules.P_MENTIONS}> ?e }}").first()["ask"] is True
+    assert sparql.query(
+        kg, "ASK { ?t <http://nope/p> ?e }").first()["ask"] is False
