@@ -70,11 +70,16 @@ def main() -> None:
     extra["triples_per_sec"] = round(n_triples / times["kg_build"], 1)
 
     # --- 2. criterion-style pattern queries over the built KG ---
-    # One-time translation materialization (the NT-export input), timed as
-    # its own stage: queries then filter the cached enumeration instead of
-    # re-broadcasting the dictionary per action.
-    timed("kg_enum", lambda: _count(kg.str_enum()))
     s_const = rules.turn_iri(synth.conv_id_for(1), 1)
+    # Cold bound-position query BEFORE the enumeration exists: exercises the
+    # scale-safe ID route (constant lookup -> pruned projection scan ->
+    # result-only translation; never materializes a dataset-sized table).
+    timed("q_sp_cold", lambda: _count(query.triples_with_pattern(
+        kg, s=s_const, p=rules.P_MENTIONS)))
+    # One-time translation materialization (the NT-export input), timed as
+    # its own stage: warm queries then filter the cached enumeration instead
+    # of re-broadcasting the dictionary per action.
+    timed("kg_enum", lambda: _count(kg.str_enum()))
     timed("q_all", lambda: _count(query.triples_with_pattern(kg)))
     timed("q_s", lambda: _count(query.triples_with_pattern(kg, s=s_const)))
     timed("q_p", lambda: _count(query.triples_with_pattern(kg, p=rules.P_MENTIONS)))

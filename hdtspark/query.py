@@ -163,23 +163,40 @@ def ids_to_strings(kg: KG, ids: DataFrame) -> DataFrame:
     )
 
 
+def _empty_str_triples(kg: KG) -> DataFrame:
+    return kg.spo.sparkSession.createDataFrame(
+        [], "s string, p string, o string")
+
+
 def triples_with_pattern(kg: KG, s: str | None = None, p: str | None = None,
                          o: str | None = None) -> DataFrame:
     """String-level pattern query — the reference's main public API.
 
-    Evaluates as a pushed-down filter over the KG's persisted string
-    enumeration (``KG.str_enum``): one job per query, no per-query dict
-    broadcasts, batch-stat pruning on the cached columnar scan.  The
-    ID-level entry (``triple_ids_with_pattern``) remains the route for
-    result sets that must stay narrow (BGP joins, ID APIs) and for
-    extreme-scale deployments where a cached string enumeration is
-    undesirable.
+    Scale-safe routing (reference src/hdt.rs:266-314): any BOUND position
+    compiles to the ID path — constant lookup, pruned projection scan
+    (``triple_ids_with_pattern``), then string translation of only the
+    RESULT rows (``ids_to_strings``).  A cold selective query therefore
+    never materializes anything dataset-sized: the reference answers SP?
+    with a binary search + pruned walk, and this is its Spark analog.
+
+    The full string enumeration (``KG.str_enum``) is built only for the
+    unbound ``???`` scan (inherently dataset-sized) — and if an earlier
+    consumer (export, ``???``) already paid for it, bound queries reuse the
+    cached batches (batch min/max stats prune like a sorted scan; reading
+    an existing cache never *triggers* a dataset-sized materialization).
     """
-    df = kg.str_enum()
-    for col, v in (("s", s), ("p", p), ("o", o)):
-        if v is not None:
-            df = df.filter(F.col(col) == v)
-    return df
+    if s is None and p is None and o is None:
+        return kg.str_enum()
+    if kg._str_enum is not None:
+        df = kg._str_enum
+        for col, v in (("s", s), ("p", p), ("o", o)):
+            if v is not None:
+                df = df.filter(F.col(col) == v)
+        return df
+    ids = triple_ids_with_pattern(kg, s, p, o)
+    if ids is None:  # unknown constant: provably empty, no scan launched
+        return _empty_str_triples(kg)
+    return ids_to_strings(kg, ids)
 
 
 def triples_matching(kg: KG, s_terms: list[str] | None = None,

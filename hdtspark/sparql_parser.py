@@ -259,7 +259,15 @@ class _Parser:
     def _read_paren_sql(self, allow_as: bool = False) -> tuple[str, str | None]:
         """Read a balanced '(...)' group and re-serialize it as Spark SQL:
         ?var -> `var`, SPARQL builtins mapped (_SPARQL_FN), &&/||/! ->
-        AND/OR/NOT.  Shared by projection expressions and FILTER."""
+        AND/OR/NOT.  Shared by projection expressions, FILTER and BIND.
+
+        Operator mapping happens PER TOKEN while serializing — multi-char
+        operators ('&&', '!=', '<=', '>=') arrive as consecutive single-char
+        'other' tokens and are merged by peeking the next token.  Literal
+        token bodies are never rewritten, so a constant like
+        ``"hello!"`` or ``"a && b"`` survives verbatim (string replacement
+        over the joined SQL mangled exactly these).
+        """
         assert self.next()[0] == "lparen"
         depth, parts = 1, []
         var = None
@@ -290,17 +298,21 @@ class _Parser:
                 parts.append(_SPARQL_FN[v.upper()])
             elif k == "dot":
                 parts.append(".")
+            elif k == "other":
+                nk, nv = self.peek()
+                if v in ("&", "|") and (nk, nv) == ("other", v):
+                    self.next()
+                    parts.append("AND" if v == "&" else "OR")
+                elif v in ("!", "<", ">") and (nk, nv) == ("other", "="):
+                    self.next()
+                    parts.append(v + "=")
+                elif v == "!":
+                    parts.append("NOT")
+                else:
+                    parts.append(v)
             else:
                 parts.append(v)
-        sql = " ".join(parts)
-        # multi-char operators come through as single-char tokens
-        for old, new in (("! =", "!="), ("< =", "<="), ("> =", ">="),
-                         ("& &", " AND "), ("| |", " OR ")):
-            sql = sql.replace(old, new)
-        sql = re.sub(r"(?<![!<>=])!(?!=)", " NOT ", sql)  # bare ! -> NOT
-        # re-space around commas/parens; SQL is whitespace-insensitive
-        sql = sql.replace("( ", "(").replace(" )", ")").replace(" ,", ",")
-        return sql, var
+        return " ".join(parts), var
 
     def _group(self):
         """-> list of UNION arms, each (patterns, filter_sqls, optionals)."""
