@@ -292,6 +292,54 @@ def _q_sparql_agg(spark, sf_dir):
                         "SELECT ?p (COUNT(*) AS ?n) { ?s ?p ?o } GROUP BY ?p")
 
 
+P_MENTIONED_BY = f"{rules.BASE}/p/mentionedBy"
+
+
+def _q_sparql_bind(spark, sf_dir):
+    """§2.5: BIND — Catalyst expression projection mid-group, visible to a
+    later FILTER in the same group."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?turn ?ent ?u { "
+        f"?turn <{rules.P_MENTIONS}> ?ent . "
+        "BIND(UCASE(?ent) AS ?u) "
+        'FILTER (CONTAINS(?ent, "spark")) }'))
+
+
+def _q_sparql_values(spark, sf_dir):
+    """§2.5: VALUES — literal solution rows joined into the BGP."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?turn ?ent { "
+        f"?turn <{rules.P_MENTIONS}> ?ent . "
+        f"VALUES ?ent {{ <{ENT_SPARK}> <{rules.BASE}/e/sql-table> }} }}"))
+
+
+def _q_sparql_minus(spark, sf_dir):
+    """§2.5: MINUS — left-anti join on the shared variables (turns that
+    mention apache-spark are removed entirely)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?turn ?ent { "
+        f"?turn <{rules.P_MENTIONS}> ?ent "
+        f"MINUS {{ ?turn <{rules.P_MENTIONS}> <{ENT_SPARK}> }} }}"))
+
+
+def _q_construct(spark, sf_dir):
+    """§2.5: CONSTRUCT — template instantiation over the WHERE solutions,
+    returned as a distinct (s, p, o) triples DataFrame."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        f"CONSTRUCT {{ ?ent <{P_MENTIONED_BY}> ?turn }} "
+        f"WHERE {{ ?turn <{rules.P_MENTIONS}> ?ent }}"))
+
+
+def _q_describe(spark, sf_dir):
+    """§2.5: DESCRIBE — the S??/??O union for the resource."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), f"DESCRIBE <{ENT_SPARK}>")
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -345,6 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": _q_bgp,
         "kg_bgp_filter": _q_bgp_filter,
         "kg_sparql_agg": _q_sparql_agg,
+        "kg_sparql_bind": _q_sparql_bind,
+        "kg_sparql_values": _q_sparql_values,
+        "kg_sparql_minus": _q_sparql_minus,
+        "kg_construct": _q_construct,
+        "kg_describe": _q_describe,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
@@ -440,6 +493,29 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE p = '{rules.P_MENTIONS}' AND contains(o, 'spark')"
         ),
         "kg_sparql_agg": k("SELECT p, COUNT(*) AS n FROM tri GROUP BY p"),
+        "kg_sparql_bind": k(
+            f"SELECT s AS turn, o AS ent, upper(o) AS u FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' AND contains(o, 'spark')"
+        ),
+        "kg_sparql_values": k(
+            f"SELECT s AS turn, o AS ent FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' "
+            f"AND o IN ('{ENT_SPARK}', '{rules.BASE}/e/sql-table')"
+        ),
+        "kg_sparql_minus": k(
+            f"SELECT s AS turn, o AS ent FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' AND s NOT IN ("
+            f"SELECT s FROM tri WHERE p = '{rules.P_MENTIONS}' "
+            f"AND o = '{ENT_SPARK}')"
+        ),
+        "kg_construct": k(
+            f"SELECT DISTINCT o AS s, '{P_MENTIONED_BY}' AS p, s AS o "
+            f"FROM tri WHERE p = '{rules.P_MENTIONS}'"
+        ),
+        "kg_describe": k(
+            f"SELECT DISTINCT s, p, o FROM tri "
+            f"WHERE s = '{ENT_SPARK}' OR o = '{ENT_SPARK}'"
+        ),
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),
         "dd_minhash": oracles.minhash_oracle(num_hashes=8, bands=4,

@@ -65,6 +65,12 @@ def nt_lines(triples_str: DataFrame) -> DataFrame:
     )
 
 
+def write_nt_triples(triples_str: DataFrame, path: str) -> None:
+    """Write any (s, p, o) canonical-string DataFrame as N-Triples text
+    (e.g. a CONSTRUCT result graph)."""
+    nt_lines(triples_str).write.mode("overwrite").text(path)
+
+
 def write_nt(kg: KG, path: str) -> None:
     """Enumerate the whole graph in SPO order and write N-Triples text."""
-    nt_lines(kg.str_enum()).write.mode("overwrite").text(path)
+    write_nt_triples(kg.str_enum(), path)

@@ -72,20 +72,49 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 
 
 @dataclass
+class Group:
+    """One group graph pattern: a BGP plus its modifiers, in evaluation
+    order patterns -> VALUES -> BIND -> OPTIONAL -> MINUS -> FILTER
+    (FILTER scopes to the whole group per SPARQL; BIND applies after the
+    group's own patterns so later OPTIONAL/MINUS/FILTER can reference it).
+    ``optionals`` / ``minuses`` hold full sub-groups (lists of UNION arms),
+    so OPTIONAL and MINUS bodies may nest FILTER/BIND/OPTIONAL/UNION."""
+
+    patterns: list[tuple[str, str, str]] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)          # Spark SQL
+    binds: list[tuple[str, str]] = field(default_factory=list)  # (var, sql)
+    # VALUES blocks: (var names, rows of canonical term strings; None=UNDEF)
+    values: list[tuple[list[str], list[tuple]]] = field(default_factory=list)
+    optionals: list[list["Group"]] = field(default_factory=list)
+    minuses: list[list["Group"]] = field(default_factory=list)
+
+
+@dataclass
 class Query:
     select: list[tuple[str, str | None]]  # (var, sql_expr or None) ; [("*", None)] = all
-    groups: list[list[tuple[str, str, str]]]  # UNION of BGPs
+    arms: list[Group]                     # UNION of group patterns
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int | None = None
-    # per-arm FILTER expressions (Spark SQL strings), aligned with groups
-    filters: list[list[str]] = field(default_factory=list)
-    # per-arm OPTIONAL pattern groups (left joins), aligned with groups
-    optionals: list[list[list[tuple[str, str, str]]]] = field(default_factory=list)
     distinct: bool = False
     group_by: list[str] = field(default_factory=list)   # var names
     having: list[str] = field(default_factory=list)     # Spark SQL strings
-    form: str = "select"                                # 'select' | 'ask'
+    form: str = "select"          # 'select' | 'ask' | 'construct' | 'describe'
+    template: list[tuple[str, str, str]] | None = None  # CONSTRUCT triples
+    describe: list[str] = field(default_factory=list)   # DESCRIBE resources
+
+    # -- legacy views (round-3 AST shape), used by existing tests ----------
+    @property
+    def groups(self) -> list[list[tuple[str, str, str]]]:
+        return [g.patterns for g in self.arms]
+
+    @property
+    def filters(self) -> list[list[str]]:
+        return [g.filters for g in self.arms]
+
+    @property
+    def optionals(self) -> list[list[list[tuple[str, str, str]]]]:
+        return [[o[0].patterns for o in g.optionals] for g in self.arms]
 
 
 # SPARQL builtin -> Spark SQL function (the FILTER subset; expressions are
@@ -171,14 +200,32 @@ class _Parser:
             else:
                 break
         form = "select"
+        select = [("*", None)]
+        template = None
+        distinct = False
         if self.at_word("ASK"):
             self.next()
-            select = [("*", None)]
             form = "ask"
+        elif self.at_word("CONSTRUCT"):
+            self.next()
+            template = self._pattern_block()
+            if not template:
+                raise ValueError("CONSTRUCT needs a non-empty template")
+            form = "construct"
+        elif self.at_word("DESCRIBE"):
+            # DESCRIBE <r>+ — no WHERE form (the S??/??O union per resource)
+            self.next()
+            describe = []
+            while self.peek()[0] in ("iri", "pname"):
+                describe.append(self.term(*self.next()))
+            if not describe:
+                raise ValueError("DESCRIBE needs at least one <iri>")
+            if self.peek()[0] != "eof":
+                raise ValueError("DESCRIBE supports a plain resource list")
+            return Query(select=select, arms=[], form="describe",
+                         describe=describe)
         else:
             self.expect_word("SELECT")
-        distinct = False
-        if form == "select":
             if self.at_word("DISTINCT"):
                 self.next()
                 distinct = True
@@ -186,10 +233,8 @@ class _Parser:
         if self.at_word("WHERE"):
             self.next()
         arms = self._group()
-        q = Query(select=select, groups=[patterns for patterns, _, _ in arms],
-                  filters=[flt for _, flt, _ in arms],
-                  optionals=[opt for _, _, opt in arms], distinct=distinct,
-                  form=form)
+        q = Query(select=select, arms=arms, distinct=distinct, form=form,
+                  template=template)
         while self.peek()[0] != "eof":
             if self.at_word("GROUP"):
                 self.next()
@@ -314,8 +359,8 @@ class _Parser:
                 parts.append(v)
         return " ".join(parts), var
 
-    def _group(self):
-        """-> list of UNION arms, each (patterns, filter_sqls, optionals)."""
+    def _group(self) -> list[Group]:
+        """-> list of UNION arms, each a full (possibly nested) Group."""
         assert self.next()[0] == "lbrace", "expected {"
         if self.peek()[0] == "lbrace":  # { group } UNION { group } ...
             arms = self._group()
@@ -324,67 +369,220 @@ class _Parser:
                 arms += self._group()
             assert self.next()[0] == "rbrace", "expected }"
             return arms
-        patterns, filters, optionals = [], [], []
+        g = Group()
         while self.peek()[0] != "rbrace":
             if self.at_word("FILTER"):
                 self.next()
                 sql, _ = self._read_paren_sql()
-                filters.append(sql)
-                if self.peek()[0] == "dot":
-                    self.next()
-                continue
-            if self.at_word("OPTIONAL"):
+                g.filters.append(sql)
+            elif self.at_word("OPTIONAL"):
                 self.next()
-                inner = self._group()
-                if len(inner) != 1 or inner[0][1] or inner[0][2]:
-                    raise ValueError(
-                        "OPTIONAL supports a plain pattern group (no nested "
-                        "UNION/FILTER/OPTIONAL)")
-                optionals.append(inner[0][0])
-                if self.peek()[0] == "dot":
-                    self.next()
-                continue
-            s = self.term(*self.next())
-            p = self.term(*self.next())
-            o = self.term(*self.next())
-            patterns.append((s, p, o))
+                g.optionals.append(self._group())
+            elif self.at_word("MINUS"):
+                self.next()
+                g.minuses.append(self._group())
+            elif self.at_word("BIND"):
+                self.next()
+                sql, var = self._read_paren_sql(allow_as=True)
+                if var is None:
+                    raise ValueError("BIND needs (expr AS ?var)")
+                g.binds.append((var, sql))
+            elif self.at_word("VALUES"):
+                self.next()
+                g.values.append(self._values_block())
+            else:
+                s = self.term(*self.next())
+                p = self.term(*self.next())
+                o = self.term(*self.next())
+                g.patterns.append((s, p, o))
             if self.peek()[0] == "dot":
                 self.next()
         self.next()  # rbrace
-        return [(patterns, filters, optionals)]
+        return [g]
+
+    def _pattern_block(self) -> list[tuple[str, str, str]]:
+        """{ (term term term .?)* } — the CONSTRUCT template."""
+        assert self.next()[0] == "lbrace", "expected {"
+        out = []
+        while self.peek()[0] != "rbrace":
+            s = self.term(*self.next())
+            p = self.term(*self.next())
+            o = self.term(*self.next())
+            out.append((s, p, o))
+            if self.peek()[0] == "dot":
+                self.next()
+        self.next()
+        return out
+
+    def _values_block(self) -> tuple[list[str], list[tuple]]:
+        """VALUES ?v { t... } | VALUES (?v1 ?v2) { (t1 t2) ... } with UNDEF.
+
+        Rows are canonical term strings; ``None`` marks UNDEF (that row
+        leaves the variable unconstrained)."""
+        k, v = self.next()
+        if k == "var":
+            vars_ = [v[1:]]
+            single = True
+        elif k == "lparen":
+            vars_ = []
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            assert self.next()[0] == "rparen", "VALUES var list needs )"
+            single = False
+        else:
+            raise ValueError("VALUES needs ?var or (?var ...)")
+        if not vars_:
+            raise ValueError("VALUES needs at least one ?var")
+        assert self.next()[0] == "lbrace", "VALUES needs { data }"
+        rows: list[tuple] = []
+        while self.peek()[0] != "rbrace":
+            if single:
+                rows.append((self._values_term(),))
+            else:
+                assert self.next()[0] == "lparen", "VALUES row needs ("
+                row = []
+                while self.peek()[0] != "rparen":
+                    row.append(self._values_term())
+                self.next()
+                if len(row) != len(vars_):
+                    raise ValueError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+        self.next()
+        return vars_, rows
+
+    def _values_term(self) -> str | None:
+        if self.at_word("UNDEF"):
+            self.next()
+            return None
+        return self.term(*self.next())
 
 
 def parse(q: str) -> Query:
     return _Parser(q).parse()
 
 
-def query_df(kg: KG, q: str) -> DataFrame:
-    """Evaluate a SPARQL SELECT string over the KG; one column per
-    projected variable (the reference's QueryResults::Solutions analog)."""
+def _eval_group(kg: KG, g: Group) -> DataFrame:
+    """Evaluate one group graph pattern to a solutions DataFrame.
+
+    BGP -> ID-level join compiler; VALUES -> broadcast join of the literal
+    rows (UNDEF = unconstrained via a null-tolerant condition); BIND ->
+    Catalyst expression projection; OPTIONAL -> left outer join; MINUS ->
+    left-anti join on the shared variables (no shared variables removes
+    nothing, per SPARQL set-compatibility); FILTER last (group scope)."""
     from . import sparql as bgp_mod
 
     from pyspark.sql import functions as F
 
+    spark = kg.spo.sparkSession
+    df = bgp_mod.bgp(kg, g.patterns) if g.patterns else None
+    for vars_, rows in g.values:
+        schema = ", ".join(f"`{v}` string" for v in vars_)
+        vdf = spark.createDataFrame(rows, schema)
+        if df is None:
+            df = vdf
+            continue
+        common = [c for c in df.columns if c in vdf.columns]
+        extra = [c for c in vdf.columns if c not in df.columns]
+        if not common:
+            df = df.crossJoin(F.broadcast(vdf))
+            continue
+        left, right = df.alias("_l"), vdf.alias("_r")
+        cond = None
+        for c in common:  # UNDEF (null) is compatible with anything
+            e = (F.col(f"_r.{c}").isNull()
+                 | (F.col(f"_r.{c}") == F.col(f"_l.{c}")))
+            cond = e if cond is None else cond & e
+        df = left.join(F.broadcast(right), cond, "inner").select(
+            *[F.col(f"_l.{c}") for c in df.columns],
+            *[F.col(f"_r.{c}").alias(c) for c in extra])
+    if df is None:
+        # a group of only BINDs evaluates over the single empty solution
+        df = spark.range(1).drop("id")
+    for var, sql in g.binds:
+        if var in df.columns:
+            raise ValueError(f"BIND would rebind ?{var}")
+        df = df.withColumn(var, F.expr(sql))
+    for arms in g.optionals:
+        odf = _eval_arms(kg, arms)
+        common = [c for c in df.columns if c in odf.columns]
+        df = (df.join(odf, on=common, how="left") if common
+              else df.join(odf, F.lit(True), "left"))
+    for arms in g.minuses:
+        mdf = _eval_arms(kg, arms)
+        common = [c for c in df.columns if c in mdf.columns]
+        if common:
+            df = df.join(mdf.select(*common).distinct(), on=common,
+                         how="left_anti")
+    for fsql in g.filters:
+        df = df.where(F.expr(fsql))
+    return df
+
+
+def _eval_arms(kg: KG, arms: list[Group]) -> DataFrame:
+    df = _eval_group(kg, arms[0])
+    for g in arms[1:]:
+        df = df.unionByName(_eval_group(kg, g), allowMissingColumns=True)
+    return df
+
+
+def _describe_df(kg: KG, resources: list[str]) -> DataFrame:
+    """DESCRIBE <r>: all triples with r as subject or object (the S??/??O
+    union; the reference gets DESCRIBE from spareval, src/sparql.rs:45-83)."""
+    from .query import triples_with_pattern
+
+    parts = []
+    for r in resources:
+        parts.append(triples_with_pattern(kg, s=r))
+        parts.append(triples_with_pattern(kg, o=r))
+    df = parts[0]
+    for other in parts[1:]:
+        df = df.unionAll(other)
+    return df.distinct()
+
+
+def _construct_df(kg: KG, solutions: DataFrame,
+                  template: list[tuple[str, str, str]]) -> DataFrame:
+    """Instantiate the CONSTRUCT template over the solution set: one
+    projection per template triple, unioned, null-dropped (a triple with an
+    unbound variable is omitted, per SPARQL), distinct (graphs are sets)."""
+    from pyspark.sql import functions as F
+
+    def col_or_lit(t: str) -> F.Column:
+        if t.startswith("?"):
+            v = t[1:]
+            if v not in solutions.columns:
+                raise ValueError(f"CONSTRUCT template var ?{v} not in WHERE")
+            return F.col(v)
+        return F.lit(t)
+
+    parts = [
+        solutions.select(col_or_lit(s).alias("s"), col_or_lit(p).alias("p"),
+                         col_or_lit(o).alias("o"))
+        for s, p, o in template
+    ]
+    df = parts[0]
+    for other in parts[1:]:
+        df = df.unionAll(other)
+    return df.where(F.col("s").isNotNull() & F.col("p").isNotNull()
+                    & F.col("o").isNotNull()).distinct()
+
+
+def query_df(kg: KG, q: str) -> DataFrame:
+    """Evaluate a SPARQL string over the KG.  SELECT/ASK return solutions
+    (one column per projected variable — the reference's
+    QueryResults::Solutions analog); CONSTRUCT/DESCRIBE return a triples
+    DataFrame (s, p, o)."""
+    from pyspark.sql import functions as F
+
     ast = parse(q)
-    arms = []
-    for i, patterns in enumerate(ast.groups):
-        arm = bgp_mod.bgp(kg, patterns)
-        # OPTIONAL = left outer join on the shared variables (unmatched
-        # rows keep nulls for the optional-only variables)
-        for opt_patterns in (ast.optionals[i] if i < len(ast.optionals) else []):
-            odf = bgp_mod.bgp(kg, opt_patterns)
-            common = [c for c in arm.columns if c in odf.columns]
-            arm = (arm.join(odf, on=common, how="left") if common
-                   else arm.join(odf, F.lit(True), "left"))
-        # FILTER scopes to its group: apply per arm, before the UNION.
-        # Expressions are Spark SQL (translated by the parser) — Catalyst
-        # evaluates them over the arm's variable columns.
-        for fsql in (ast.filters[i] if i < len(ast.filters) else []):
-            arm = arm.where(F.expr(fsql))
-        arms.append(arm)
-    df = arms[0]
-    for other in arms[1:]:
-        df = df.unionByName(other, allowMissingColumns=True)
+    if ast.form == "describe":
+        return _describe_df(kg, ast.describe)
+    df = _eval_arms(kg, ast.arms)
+    if ast.form == "construct":
+        out = _construct_df(kg, df, ast.template)
+        if ast.limit is not None:
+            out = out.limit(ast.limit)
+        return out
 
     if ast.form == "ask":
         # boolean result as a 1-row DataFrame (true iff any solution)

@@ -76,11 +76,17 @@ def test_select_star_and_a_keyword(kg, golden_oracle):
 
 def test_parse_errors():
     with pytest.raises(ValueError):
-        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
-    with pytest.raises(ValueError):
         parse("SELECT { ?s ?p ?o }")
     with pytest.raises(ValueError):
         parse("SELECT ?x { ?x unknown:p ?y }")
+    with pytest.raises(ValueError):
+        parse("CONSTRUCT { } WHERE { ?s ?p ?o }")
+    with pytest.raises(ValueError):
+        parse("DESCRIBE")
+    with pytest.raises(ValueError):
+        parse("SELECT ?x { BIND(1 ?x) }")          # missing AS
+    with pytest.raises(ValueError):
+        parse("SELECT ?x { VALUES (?a ?b) { (<u>) } }")  # arity mismatch
 
 
 def test_filter_comparison_and_logic(kg, golden_oracle):
@@ -207,3 +213,122 @@ def test_ask_form(kg):
         kg, f"ASK {{ ?t <{rules.P_MENTIONS}> ?e }}").first()["ask"] is True
     assert sparql.query(
         kg, "ASK { ?t <http://nope/p> ?e }").first()["ask"] is False
+
+
+def test_bind_expression(kg, golden_oracle):
+    """BIND(expr AS ?var) projects a Catalyst expression mid-group, and the
+    bound var is visible to a later FILTER in the same group."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    rows = sparql.query(
+        kg,
+        f'SELECT ?e ?u {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'BIND(UCASE(?e) AS ?u) FILTER (CONTAINS(?u, "SPARK")) }}').collect()
+    expected = {(o, o.upper()) for _, _, o in mentions if "spark" in o}
+    assert {(r["e"], r["u"]) for r in rows} == expected
+    assert rows
+
+    with pytest.raises(ValueError):
+        sparql.query(kg, "SELECT ?x { ?x ?p ?o . BIND(1 AS ?x) }")
+
+
+def test_values_single_var(kg, golden_oracle):
+    """VALUES constrains an already-bound variable (broadcast literal join)."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    spark_e = rules.ent_iri("apache-spark")
+    sql_e = rules.ent_iri("sql-table")
+    rows = sparql.query(
+        kg,
+        f'SELECT ?t ?e {{ ?t <{rules.P_MENTIONS}> ?e . '
+        f'VALUES ?e {{ <{spark_e}> <{sql_e}> }} }}').collect()
+    expected = {(s, o) for s, _, o in mentions if o in (spark_e, sql_e)}
+    assert {(r["t"], r["e"]) for r in rows} == expected
+    assert rows
+
+
+def test_values_multi_var_with_undef(kg, golden_oracle):
+    """VALUES (?a ?b) rows with UNDEF leave that var unconstrained."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    typed = golden_oracle.pattern(None, rules.P_TYPE, rules.C_ENTITY)
+    spark_e = rules.ent_iri("apache-spark")
+    rows = sparql.query(
+        kg,
+        f'SELECT ?p ?e {{ ?t ?p ?e . VALUES (?p ?e) {{ '
+        f'(<{rules.P_MENTIONS}> <{spark_e}>) (<{rules.P_TYPE}> UNDEF) }} }}'
+    ).collect()
+    expected = ({(rules.P_MENTIONS, o) for _, _, o in mentions
+                 if o == spark_e}
+                | {(rules.P_TYPE, o) for _, _, o in typed})
+    assert {(r["p"], r["e"]) for r in rows} == expected
+    assert rows
+
+
+def test_minus(kg, golden_oracle):
+    """MINUS removes solutions compatible on shared vars; subjects that
+    mention apache-spark are excluded entirely."""
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    spark_e = rules.ent_iri("apache-spark")
+    spark_subjects = {s for s, _, o in mentions if o == spark_e}
+    rows = sparql.query(
+        kg,
+        f'SELECT ?t ?e {{ ?t <{rules.P_MENTIONS}> ?e '
+        f'MINUS {{ ?t <{rules.P_MENTIONS}> <{spark_e}> }} }}').collect()
+    expected = {(s, o) for s, _, o in mentions if s not in spark_subjects}
+    assert {(r["t"], r["e"]) for r in rows} == expected
+    assert rows
+
+
+def test_nested_optional_with_filter(kg, golden_oracle):
+    """OPTIONAL bodies may carry FILTER (and nest): the filter constrains
+    the optional side BEFORE the left join, not the outer solutions."""
+    roles = golden_oracle.pattern(None, rules.P_ROLE, None)
+    tools = {s: o for s, _, o in golden_oracle.pattern(None, rules.P_TOOL, None)}
+    rows = sparql.query(
+        kg,
+        f'SELECT ?t ?tool {{ ?t <{rules.P_ROLE}> ?r . '
+        f'OPTIONAL {{ ?t <{rules.P_TOOL}> ?tool '
+        f'FILTER (CONTAINS(?tool, "search")) }} }}').collect()
+    got = {(r["t"], r["tool"]) for r in rows}
+    expected = {(s, tools[s] if s in tools and "search" in tools[s] else None)
+                for s, _, _ in roles}
+    assert got == expected
+    assert any(v is not None for _, v in got)
+
+
+def test_construct(kg, golden_oracle):
+    """CONSTRUCT returns a distinct triples DataFrame instantiated from
+    the template over the WHERE solutions."""
+    inv = f"{rules.BASE}/p/mentionedBy"
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    rows = sparql.query(
+        kg,
+        f'CONSTRUCT {{ ?e <{inv}> ?t . ?e a <{rules.C_ENTITY}> }} '
+        f'WHERE {{ ?t <{rules.P_MENTIONS}> ?e }}').collect()
+    got = {(r["s"], r["p"], r["o"]) for r in rows}
+    expected = ({(o, inv, s) for s, _, o in mentions}
+                | {(o, rules.P_TYPE, rules.C_ENTITY) for _, _, o in mentions})
+    assert got == expected
+    assert len(rows) == len(got)  # graph set semantics: no duplicates
+
+
+def test_construct_roundtrip_nt(kg, spark, tmp_path):
+    """CONSTRUCT -> NT export -> parse back == same graph (VERDICT r3 next
+    #6 done-bar)."""
+    from hdtspark import export, sources
+    inv = f"{rules.BASE}/p/mentionedBy"
+    g = sparql.query(
+        kg, f'CONSTRUCT {{ ?e <{inv}> ?t }} '
+            f'WHERE {{ ?t <{rules.P_MENTIONS}> ?e }}')
+    path = str(tmp_path / "construct.nt")
+    export.write_nt_triples(g, path)
+    back = sources.read_nt(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, g.collect()))
+
+
+def test_describe(kg, golden_oracle):
+    """DESCRIBE <r> = all triples with r as subject or object."""
+    spark_e = rules.ent_iri("apache-spark")
+    rows = sparql.query(kg, f"DESCRIBE <{spark_e}>").collect()
+    spo = golden_oracle.spo_str()
+    expected = {t for t in spo if t[0] == spark_e or t[2] == spark_e}
+    assert {(r["s"], r["p"], r["o"]) for r in rows} == expected
+    assert rows
