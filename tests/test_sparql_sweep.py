@@ -1,0 +1,233 @@
+"""Many-query SPARQL conformance sweep.
+
+The reference smoke-runs the W3C rdf-tests SPARQL suites against its
+engine (reference src/sparql.rs:317-418, git submodule); that corpus is
+not vendored here, so this sweep plays the same role in-repo: one query
+per grammar production the parser claims (SURVEY.md §2.5), every query
+executed over the golden KG, results spot-checked against the pure-Python
+oracle where the semantics are cheap to restate.  A parse or evaluation
+error anywhere is a sweep failure — exactly the class of gap the W3C run
+catches for the reference.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hdtspark import rules, sparql
+
+M = rules.P_MENTIONS
+T = rules.P_TYPE
+ROLE = rules.P_ROLE
+TOOL = rules.P_TOOL
+ENT = rules.C_ENTITY
+SPARK_E = rules.ent_iri("apache-spark")
+SQL_E = rules.ent_iri("sql-table")
+BASE = rules.BASE
+
+
+def _mentions(o):
+    return o.pattern(None, M, None)
+
+
+def _typed(o):
+    return o.pattern(None, T, ENT)
+
+
+# (id, query, expected) — expected is None (execute + count, no error) or a
+# callable(oracle) -> expected set of row tuples in column-name-sorted order.
+SWEEP = [
+    # --- basic pattern shapes through the string entry -------------------
+    ("spo_all", "SELECT * { ?s ?p ?o }",
+     lambda o: {t for t in map(lambda x: (x[2], x[1], x[0]), o.spo_str())}),
+    ("s_free", f"SELECT ?x {{ ?x <{M}> <{SPARK_E}> }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("o_free", f"SELECT ?x {{ <{BASE}/conv/conv-7/t/0> <{M}> ?x }}",
+     lambda o: {(oo,) for s, _, oo in _mentions(o)
+                if s == f"{BASE}/conv/conv-7/t/0"}),
+    ("p_free", f"SELECT ?x {{ <{BASE}/conv/conv-7/t/0> ?x <{SPARK_E}> }}",
+     None),
+    ("two_pattern_join",
+     f"SELECT ?t ?e {{ ?t <{M}> ?e . ?e <{T}> <{ENT}> }}",
+     lambda o: {(e, t) for t, _, e in _mentions(o)}),
+    ("three_pattern_join",
+     f"SELECT ?c ?t ?e {{ ?c <{rules.P_HASTURN}> ?t . ?t <{M}> ?e . "
+     f"?e a <{ENT}> }}", None),
+    ("same_var_twice", "SELECT ?x { ?x ?p ?x }", None),
+    # --- prologue --------------------------------------------------------
+    ("prefix", f"PREFIX e: <{BASE}/e/> PREFIX p: <{BASE}/p/> "
+     "SELECT ?t { ?t p:mentions e:apache-spark }",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("base_iri", "BASE <http://nope.example/> SELECT ?x { ?x <p> <q> }",
+     lambda o: set()),
+    ("a_keyword", f"SELECT ?e {{ ?e a <{ENT}> }}",
+     lambda o: {(s,) for s, _, _ in _typed(o)}),
+    # --- literals --------------------------------------------------------
+    ("string_literal", f'SELECT ?t {{ ?t <{ROLE}> "user" }}',
+     lambda o: {(s,) for s, _, oo in o.pattern(None, ROLE, None)
+                if oo == '"user"'}),
+    ("typed_literal",
+     f'SELECT ?t {{ ?t <{rules.P_INDEX}> '
+     f'"0"^^<{rules.XSD_INTEGER}> }}', None),
+    ("single_quoted", f"SELECT ?t {{ ?t <{ROLE}> 'user' }}",
+     lambda o: {(s,) for s, _, oo in o.pattern(None, ROLE, None)
+                if oo == '"user"'}),
+    # --- FILTER builtins and operators -----------------------------------
+    ("f_regex", f'SELECT ?e {{ ?t <{M}> ?e FILTER (REGEX(?e, "spark")) }}',
+     None),
+    ("f_strstarts",
+     f'SELECT ?e {{ ?t <{M}> ?e FILTER (STRSTARTS(?e, "{BASE}/e/")) }}',
+     None),
+    ("f_strends", f'SELECT ?e {{ ?t <{M}> ?e FILTER (STRENDS(?e, "k")) }}',
+     None),
+    ("f_contains", f'SELECT ?e {{ ?t <{M}> ?e FILTER (CONTAINS(?e, "q")) }}',
+     None),
+    ("f_ucase_lcase",
+     f'SELECT ?e {{ ?t <{M}> ?e FILTER (UCASE(LCASE(?e)) != ?e) }}', None),
+    ("f_strlen", f"SELECT ?e {{ ?t <{M}> ?e FILTER (STRLEN(?e) > 20) }}",
+     lambda o: {(oo,) for _, _, oo in _mentions(o) if len(oo) > 20}),
+    ("f_eq", f'SELECT ?t {{ ?t <{M}> ?e FILTER (?e = "{SPARK_E}") }}',
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("f_neq", f'SELECT ?e {{ ?t <{M}> ?e FILTER (?e != "{SPARK_E}") }}',
+     lambda o: {(oo,) for _, _, oo in _mentions(o) if oo != SPARK_E}),
+    ("f_lt_gt", 'SELECT ?e { ?t <%s> ?e FILTER (?e > "a" && ?e < "{") }' % M,
+     None),
+    ("f_le_ge", f'SELECT ?e {{ ?t <{M}> ?e '
+     f'FILTER (?e >= "{SPARK_E}" || ?e <= "a") }}', None),
+    ("f_not", f'SELECT ?e {{ ?t <{M}> ?e FILTER (!CONTAINS(?e, "x")) }}',
+     lambda o: {(oo,) for _, _, oo in _mentions(o) if "x" not in oo}),
+    ("f_nested_parens",
+     f'SELECT ?e {{ ?t <{M}> ?e '
+     f'FILTER ((CONTAINS(?e, "a") && !(CONTAINS(?e, "b"))) || ?e = "z") }}',
+     lambda o: {(oo,) for _, _, oo in _mentions(o)
+                if ("a" in oo and "b" not in oo) or oo == "z"}),
+    # operator characters INSIDE literals survive verbatim (ADVICE r3)
+    ("f_lit_bang", f'SELECT ?e {{ ?t <{M}> ?e FILTER (?e != "hello!") }}',
+     lambda o: {(oo,) for _, _, oo in _mentions(o) if oo != "hello!"}),
+    ("f_lit_andand",
+     f'SELECT ?e {{ ?t <{M}> ?e FILTER (?e != "a && b || c ( , )") }}',
+     lambda o: {(oo,) for _, _, oo in _mentions(o)}),
+    ("f_two_filters", f'SELECT ?e {{ ?t <{M}> ?e '
+     f'FILTER (CONTAINS(?e, "a")) FILTER (CONTAINS(?e, "s")) }}',
+     lambda o: {(oo,) for _, _, oo in _mentions(o)
+                if "a" in oo and "s" in oo}),
+    # --- OPTIONAL --------------------------------------------------------
+    ("opt_plain", f"SELECT ?t ?tool {{ ?t <{ROLE}> ?r . "
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool }} }}", None),
+    ("opt_filter_inside", f"SELECT ?t ?tool {{ ?t <{ROLE}> ?r . "
+     f'OPTIONAL {{ ?t <{TOOL}> ?tool FILTER (CONTAINS(?tool, "s")) }} }}',
+     None),
+    ("opt_nested", f"SELECT ?t ?e ?tool {{ ?t <{M}> ?e . "
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool OPTIONAL {{ ?t <{ROLE}> ?r }} }} }}",
+     None),
+    ("opt_two", f"SELECT ?t {{ ?t <{ROLE}> ?r . "
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool }} OPTIONAL {{ ?t <{M}> ?e }} }}",
+     None),
+    ("opt_bind_inside", f"SELECT ?t ?u {{ ?t <{ROLE}> ?r . "
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool BIND(UCASE(?tool) AS ?u) }} }}", None),
+    # --- UNION -----------------------------------------------------------
+    ("union_two", f"SELECT ?x {{ {{ ?x <{M}> <{SPARK_E}> }} UNION "
+     f"{{ ?x a <{ENT}> }} }}", None),
+    ("union_three", f"SELECT ?x {{ {{ ?x <{M}> <{SPARK_E}> }} UNION "
+     f"{{ ?x a <{ENT}> }} UNION {{ ?x <{ROLE}> \"user\" }} }}", None),
+    ("union_disjoint_vars", f"SELECT ?a ?b {{ {{ ?a <{M}> <{SPARK_E}> }} "
+     f"UNION {{ ?b a <{ENT}> }} }}", None),
+    ("union_filter_scoped",
+     f'SELECT ?e {{ {{ ?t <{M}> ?e FILTER (CONTAINS(?e, "spark")) }} '
+     f"UNION {{ ?e a <{ENT}> }} }}", None),
+    # --- BIND / VALUES / MINUS -------------------------------------------
+    ("bind_concat", f"SELECT ?t ?k {{ ?t <{M}> ?e . "
+     f"BIND(CONCAT(?e, \"#x\") AS ?k) }}",
+     lambda o: {(oo + "#x", s) for s, _, oo in _mentions(o)}),
+    ("bind_chain", f"SELECT ?n {{ ?t <{M}> ?e . "
+     f"BIND(STRLEN(?e) AS ?m) BIND(?m + 1 AS ?n) }}", None),
+    ("bind_only_group", 'SELECT ?x { BIND("v" AS ?x) }',
+     lambda o: {("v",)}),
+    ("values_single", f"SELECT ?t {{ ?t <{M}> ?e . "
+     f"VALUES ?e {{ <{SPARK_E}> }} }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("values_two_rows", f"SELECT ?t ?e {{ ?t <{M}> ?e . "
+     f"VALUES ?e {{ <{SPARK_E}> <{SQL_E}> }} }}",
+     lambda o: {(oo, s) for s, _, oo in _mentions(o)
+                if oo in (SPARK_E, SQL_E)}),
+    ("values_multi_var", f"SELECT ?t ?p ?e {{ ?t ?p ?e . "
+     f"VALUES (?p ?e) {{ (<{M}> <{SPARK_E}>) (<{T}> UNDEF) }} }}", None),
+    ("values_fresh_var", f"SELECT ?t ?lang {{ ?t <{M}> <{SPARK_E}> . "
+     f'VALUES ?lang {{ "en" "de" }} }}',
+     lambda o: {(l, s) for s, _, oo in _mentions(o) if oo == SPARK_E
+                for l in ('"en"', '"de"')}),
+    ("minus_basic", f"SELECT ?t ?e {{ ?t <{M}> ?e "
+     f"MINUS {{ ?t <{M}> <{SPARK_E}> }} }}", None),
+    ("minus_no_shared_vars", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> "
+     f"MINUS {{ ?z <{ROLE}> \"user\" }} }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("minus_with_filter", f"SELECT ?t ?e {{ ?t <{M}> ?e "
+     f'MINUS {{ ?t <{M}> ?x FILTER (CONTAINS(?x, "spark")) }} }}', None),
+    # --- solution modifiers ----------------------------------------------
+    ("distinct", f"SELECT DISTINCT ?e {{ ?t <{M}> ?e }}",
+     lambda o: {(oo,) for _, _, oo in _mentions(o)}),
+    ("order_limit", f"SELECT ?e {{ ?t <{M}> ?e }} ORDER BY ?e LIMIT 3",
+     None),
+    ("order_desc_offset",
+     f"SELECT ?e {{ ?t <{M}> ?e }} ORDER BY DESC(?e) LIMIT 2 OFFSET 2",
+     None),
+    ("order_two_keys",
+     f"SELECT ?t ?e {{ ?t <{M}> ?e }} ORDER BY ?t DESC(?e) LIMIT 5", None),
+    ("projection_expr",
+     f"SELECT (UCASE(?e) AS ?u) {{ ?t <{M}> ?e }} LIMIT 4", None),
+    ("group_count",
+     f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} GROUP BY ?e", None),
+    ("group_min_max", f"SELECT ?e (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) "
+     f"{{ ?t <{M}> ?e }} GROUP BY ?e", None),
+    ("group_having", f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} "
+     f"GROUP BY ?e HAVING (COUNT(*) >= 3)", None),
+    ("group_two_having", f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} "
+     f"GROUP BY ?e HAVING (COUNT(*) >= 2) HAVING (COUNT(*) <= 50)", None),
+    # --- ASK / CONSTRUCT / DESCRIBE --------------------------------------
+    ("ask_true", f"ASK {{ ?t <{M}> ?e }}", lambda o: {(True,)}),
+    ("ask_false", "ASK { ?t <http://nope/p> ?e }", lambda o: {(False,)}),
+    ("ask_filter", f'ASK {{ ?t <{M}> ?e FILTER (CONTAINS(?e, "nope-xyz")) }}',
+     lambda o: {(False,)}),
+    # NB: sweep rows are collected in column-name-sorted order (o, p, s)
+    ("construct_basic", f"CONSTRUCT {{ ?e <{BASE}/p/seenIn> ?t }} "
+     f"WHERE {{ ?t <{M}> ?e }}",
+     lambda o: {(s, f"{BASE}/p/seenIn", oo) for s, _, oo in _mentions(o)}),
+    ("construct_const_term",
+     f"CONSTRUCT {{ ?e a <{BASE}/c/Mentioned> }} WHERE {{ ?t <{M}> ?e }}",
+     lambda o: {(f"{BASE}/c/Mentioned", rules.P_TYPE, oo)
+                for _, _, oo in _mentions(o)}),
+    ("construct_two_templates",
+     f"CONSTRUCT {{ ?e <{BASE}/p/of> ?t . ?t <{BASE}/p/has> ?e }} "
+     f"WHERE {{ ?t <{M}> ?e . FILTER (CONTAINS(?e, \"spark\")) }}", None),
+    ("construct_optional_null_drop",
+     f"CONSTRUCT {{ ?t <{BASE}/p/usedTool> ?tool }} WHERE "
+     f"{{ ?t <{ROLE}> ?r OPTIONAL {{ ?t <{TOOL}> ?tool }} }}",
+     lambda o: {(oo, f"{BASE}/p/usedTool", s)
+                for s, _, oo in o.pattern(None, TOOL, None)}),
+    ("describe_one", f"DESCRIBE <{SPARK_E}>", None),
+    ("describe_two", f"DESCRIBE <{SPARK_E}> <{SQL_E}>", None),
+    ("describe_pname", f"PREFIX e: <{BASE}/e/> DESCRIBE e:apache-spark",
+     None),
+    # --- whitespace / syntax robustness ----------------------------------
+    ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}", None),
+    ("trailing_dots", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> . }}", None),
+    ("packed_whitespace", f"SELECT ?t{{?t <{M}> <{SPARK_E}>}}", None),
+    ("newlines", f"SELECT ?t\n{{\n  ?t <{M}> ?e .\n  FILTER (\n"
+     f"    CONTAINS(?e, \"spark\")\n  )\n}}\nLIMIT 10", None),
+    ("where_keyword", f"SELECT ?t WHERE {{ ?t <{M}> ?e }}", None),
+    ("case_insensitive_kw",
+     f"select ?t where {{ ?t <{M}> ?e }} order by ?t limit 2", None),
+]
+
+
+@pytest.mark.parametrize(
+    "query,expected", [(q, e) for _, q, e in SWEEP],
+    ids=[name for name, _, _ in SWEEP])
+def test_sweep(kg, golden_oracle, query, expected):
+    df = sparql.query(kg, query)
+    rows = df.select(*sorted(df.columns)).collect()
+    if expected is None:
+        assert rows is not None  # executed without parse/eval error
+    else:
+        got = {tuple(r) for r in rows}
+        assert got == expected(golden_oracle), query
