@@ -70,7 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("-s", default=None)
     p_query.add_argument("-p", default=None)
     p_query.add_argument("-o", default=None)
-    p_query.add_argument("--limit", type=int, default=20)
+    p_query.add_argument("--limit", type=int, default=None,
+                         help="max rows to print (default 20; a SPARQL "
+                              "query's own LIMIT is never overridden)")
     p_query.add_argument("--sparql", default=None, metavar="QUERY",
                          help="SPARQL SELECT string instead of -s/-p/-o")
 
@@ -133,16 +135,34 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         if args.sparql:
             from .sparql import query as sparql_query
+            from .sparql_parser import parse as sparql_parse
             res = sparql_query(kg, args.sparql)
+            # the query's own LIMIT (or aggregation) wins: only cap output
+            # when the query has no LIMIT or --limit was passed explicitly
+            if args.limit is not None:
+                n = args.limit
+            elif sparql_parse(args.sparql).limit is None:
+                n = 20
+            else:
+                n = None
             cols = res.columns
             print("\t".join(cols))
-            for row in res.limit(args.limit).collect():
+            rows = res.limit(n + 1).collect() if n is not None else res.collect()
+            for row in rows[:n]:
                 print("\t".join("" if row[c] is None else str(row[c])
                                 for c in cols))
+            if n is not None and len(rows) > n:
+                print(f"note: output truncated to {n} rows "
+                      "(pass --limit to raise)", file=sys.stderr)
         else:
+            n = args.limit if args.limit is not None else 20
             res = triples_with_pattern(kg, args.s, args.p, args.o)
-            for row in res.limit(args.limit).collect():
+            rows = res.limit(n + 1).collect()
+            for row in rows[:n]:
                 print(f"{row['s']} {row['p']} {row['o']} .")
+            if len(rows) > n:
+                print(f"note: output truncated to {n} rows "
+                      "(pass --limit to raise)", file=sys.stderr)
 
     elif args.cmd in ("export-hdt", "export-nt", "export-ttl"):
         from .checkpoint import Materializer
@@ -174,11 +194,15 @@ def main(argv: list[str] | None = None) -> int:
         # The reference CLI's convert-from-.nt path (Hdt::read_nt,
         # src/main.rs:122-133): distributed NT parse -> full dict/encode
         # pipeline -> warehouse stages.
-        from .checkpoint import Materializer
+        from .checkpoint import Materializer, fingerprint
         from .pipeline import build_kg_from_triples
         from .sources import read_nt
-        kg = build_kg_from_triples(read_nt(spark, args.input))
-        in_fp = f"nt:{args.input}"
+        triples = read_nt(spark, args.input)
+        # Content-derived fingerprint (one line-scan job), like import-hdt's
+        # md5: a modified .nt at the SAME path must invalidate the stages —
+        # a path-only fingerprint silently kept stale warehouse data.
+        in_fp = "nt:" + fingerprint(triples)
+        kg = build_kg_from_triples(triples)
         mat = Materializer(spark, args.warehouse)
         mat.write_stage(
             "dict", kg.dict.sections_df(), in_fp,

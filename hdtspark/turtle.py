@@ -127,13 +127,18 @@ _TOKEN = re.compile(
            | '(?:[^'\\]|\\.)*'(?:@[A-Za-z0-9\-]+|\^\^(?:<[^>]*>|[A-Za-z_][\w\-]*:[\w\-]*))? )
   | (?P<blank> _:[\w\-]+ )
   | (?P<directive> @[A-Za-z]+ )
-  | (?P<pname> [A-Za-z_][\w\-]*:[\w\.\-]* | : [\w\.\-]* )
+  | (?P<pname> [A-Za-z_][\w\-]*:(?:[\w\.\-]*[\w\-])? | :(?:[\w\.\-]*[\w\-])? )
   | (?P<num> [+-]?\d+(\.\d+)?([eE][+-]?\d+)? )
   | (?P<kw> [Aa](?![\w:]) )
   | (?P<punct> [.;,\[\]] )
+  | (?P<other> \S )
     """,
     re.VERBOSE,
 )
+# pname local parts may contain dots but not END with one (Turtle PN_LOCAL),
+# so `ex:o.` splits into a pname and the statement dot; the catch-all
+# 'other' class turns bytes no rule matches into a hard parse error instead
+# of finditer silently skipping them.
 
 _UNESCAPE = {
     "\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t",
@@ -162,8 +167,15 @@ def _unescape(body: str) -> str:
 
 class _TtlParser:
     def __init__(self, text: str):
-        self.toks = [(m.lastgroup, m.group()) for m in _TOKEN.finditer(text)
-                     if m.lastgroup != "comment"]
+        self.toks = []
+        for m in _TOKEN.finditer(text):
+            if m.lastgroup == "comment":
+                continue
+            if m.lastgroup == "other":
+                raise ValueError(
+                    f"unexpected character {m.group()!r} at offset "
+                    f"{m.start()} in Turtle input")
+            self.toks.append((m.lastgroup, m.group()))
         self.i = 0
         self.base = ""
         self.prefixes: dict[str, str] = {}

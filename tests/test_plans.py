@@ -53,6 +53,17 @@ def test_encode_broadcasts_small_dict(kg):
     assert "SortMergeJoin" not in simple, simple
 
 
+def test_range_bucket_spreads_small_inputs(spark):
+    """ADVICE r3: the fixed-fraction probe yields ~0 sample keys at a few
+    thousand rows, collapsing to ONE bucket (a single-partition global
+    window).  The exact-fraction retry must spread such inputs."""
+    terms = spark.createDataFrame(
+        [(f"term-{i:05d}",) for i in range(3000)], "term string")
+    b = ranking.range_bucket(terms, ["term"], n_buckets=8)
+    n_buckets = terms.select(b.alias("_b")).distinct().count()
+    assert n_buckets >= 4, n_buckets
+
+
 def test_bound_pattern_routes_through_id_path(spark):
     """A bound-position string query must compile to the ID path (pruned
     projection scan + result-only translation) and must NOT materialize the

@@ -103,3 +103,16 @@ ex:t ex:empty [] .
     assert anns[0] in {o for _, o in knows}
     assert by_p[f"{X}age"][0][0] == anns[0]
     assert by_p[f"{X}empty"][0][1].startswith("_:anon")
+
+
+def test_parse_pname_trailing_dot_and_bad_chars():
+    """ADVICE r3: `ex:o.` (no space before the statement dot) must split
+    into the pname and the terminator; bytes no token rule matches must
+    raise instead of being silently skipped."""
+    got = turtle.parse_ttl(f"@prefix ex: <{X}> . ex:s ex:p ex:o.")
+    assert got == [(f"{X}s", f"{X}p", f"{X}o")]
+    # dots INSIDE a local name still belong to it
+    got = turtle.parse_ttl(f"@prefix ex: <{X}> . ex:s ex:p ex:v1.2 .")
+    assert got == [(f"{X}s", f"{X}p", f"{X}v1.2")]
+    with pytest.raises(ValueError, match="unexpected character"):
+        turtle.parse_ttl(f"@prefix ex: <{X}> . ex:s ex:p ~broken .")
