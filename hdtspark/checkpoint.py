@@ -205,7 +205,7 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
     if not mat.stage_complete("dict", tri_fp):
         d = build_dict(tri)
         mat.write_stage(
-            "dict", d.sections_df(), tri_fp,
+            "dict", d.sections_clustered(), tri_fp,
             extra={"n_shared": d.n_shared, "n_subjects": d.n_subjects,
                    "n_predicates": d.n_predicates, "n_objects": d.n_objects},
         )

@@ -205,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
         kg = build_kg_from_triples(triples)
         mat = Materializer(spark, args.warehouse)
         mat.write_stage(
-            "dict", kg.dict.sections_df(), in_fp,
+            "dict", kg.dict.sections_clustered(), in_fp,
             extra={"n_shared": kg.dict.n_shared,
                    "n_subjects": kg.dict.n_subjects,
                    "n_predicates": kg.dict.n_predicates,
@@ -228,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
             in_fp = "hdt:" + hashlib.md5(f.read()).hexdigest()
         mat = Materializer(spark, args.warehouse)
         mat.write_stage(
-            "dict", kg.dict.sections_df(), in_fp,
+            "dict", kg.dict.sections_clustered(), in_fp,
             extra={"n_shared": kg.dict.n_shared,
                    "n_subjects": kg.dict.n_subjects,
                    "n_predicates": kg.dict.n_predicates,

@@ -63,6 +63,27 @@ class FourSectDict:
             .unionAll(self.objects.select(F.lit("objects").alias("section"), "term", "id"))
         )
 
+    DICT_TERMS_PER_FILE = 2_000_000
+
+    def sections_clustered(self, num_files: int | None = None) -> DataFrame:
+        """``sections_df`` range-clustered + sorted by (section, term) for
+        durable materialization: every parquet file/row group then covers a
+        CONTIGUOUS term range, so a dictionary point lookup (str -> id)
+        prunes the scan via min/max statistics instead of reading the whole
+        table — the Spark analog of the reference's per-block binary search
+        (reference src/dict_sect_pfc.rs:87-127).
+
+        The file count is explicit (derived from the known term counts) so
+        AQE cannot coalesce the small exchange into one un-prunable file.
+        """
+        if num_files is None:
+            total = (self.n_shared + self.n_subjects + self.n_predicates
+                     + self.n_objects)
+            num_files = max(1, -(-total // self.DICT_TERMS_PER_FILE))
+        return (self.sections_df()
+                .repartitionByRange(num_files, "section", "term")
+                .sortWithinPartitions("section", "term"))
+
 
 def build_dict(triples_str: DataFrame) -> FourSectDict:
     """Raw string triples -> four-section dictionary with dense IDs.

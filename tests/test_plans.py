@@ -98,6 +98,52 @@ def test_bound_pattern_routes_through_id_path(spark):
     kg.unpersist()
 
 
+def test_dict_term_lookup_prunes_materialized_scan(spark, kg, tmp_path):
+    """VERDICT r3 next #9: a term point-lookup against the MATERIALIZED
+    dictionary must behave like the reference's per-block binary search
+    (src/dict_sect_pfc.rs:87-127): the (section, term)-clustered parquet
+    layout gives each file/row group a narrow term range, the equality
+    filter is pushed into the scan, and min/max stats exclude most row
+    groups."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hdtspark.checkpoint import Materializer
+
+    wh = str(tmp_path / "wh")
+    mat = Materializer(spark, wh)
+    mat.write_stage("dict", kg.dict.sections_clustered(num_files=8),
+                    "plan-test")
+    dict_df = mat.read_table("dict")
+    term = kg.dict.predicates.orderBy("id").first()["term"]
+
+    q = dict_df.filter((F.col("section") == "predicates")
+                       & (F.col("term") == term)).select("id")
+    plan = _plan(q)
+    assert "PushedFilters:" in plan, plan
+    assert "EqualTo(section,predicates)" in plan, plan
+    assert "EqualTo(term," in plan, plan
+
+    # the clustered layout's row-group stats are discriminative: the looked-
+    # up term can match only a strict subset of row groups
+    data_dir = os.path.join(wh, "dict", "data")
+    total = matching = 0
+    for fname in os.listdir(data_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
+        term_idx = [md.schema.column(i).name
+                    for i in range(md.num_columns)].index("term")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(term_idx).statistics
+            total += 1
+            if st is not None and st.min <= term <= st.max:
+                matching += 1
+    assert total >= 4, f"expected multiple row groups, got {total}"
+    assert matching < total, (matching, total)
+
+
 def test_materialized_ops_scan_pushes_filters(spark, kg, tmp_path):
     path = str(tmp_path / "ops")
     kg.ops.write.parquet(path)
