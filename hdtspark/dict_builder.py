@@ -35,10 +35,17 @@ class FourSectDict:
     # kept so KG.unpersist() can release it (r2's documents-build regression
     # was persists accumulating across builds in one JVM)
     ids: DataFrame | None = None
+    # persisted upstream intermediates (the ranked-terms input) released
+    # together with ids — kept cached so the dict build needs NO eager
+    # materialization job of its own (ids materializes inside the first
+    # consumer's job; one fewer sequential driver round per build)
+    deps: tuple[DataFrame, ...] = ()
 
     def unpersist(self) -> None:
         if self.ids is not None:
             self.ids.unpersist()
+        for df in self.deps:
+            df.unpersist()
 
     @property
     def subj_global(self) -> DataFrame:
@@ -138,11 +145,12 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
     # times and every query filters it.  Persist the (small) table once —
     # recompute is deterministic (literal range buckets), so block loss is
     # harmless, unlike round 1's persisted nondeterministic rank pass.
-    # Materializing it eagerly lets the ranking input cache be RELEASED
-    # (round 1 accumulated never-unpersisted intermediates across builds).
+    # Materialization is LAZY: ids fills its cache inside the first
+    # consumer's job (the encode joins) instead of a dedicated count() —
+    # one fewer sequential driver round per build.  The ranked-terms input
+    # cache therefore stays alive until KG.unpersist() releases both
+    # (tracked in ``deps``; round 1's bug was never releasing it at all).
     ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
-    ids.count()
-    labeled.unpersist()
 
     def section(name: str) -> DataFrame:
         return ids.filter(F.col("section") == name).select("term", "id")
@@ -157,4 +165,5 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
         n_predicates=totals.get("predicates", 0),
         n_objects=totals.get("objects", 0),
         ids=ids,
+        deps=(labeled,),
     )

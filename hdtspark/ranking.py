@@ -87,12 +87,15 @@ def range_bucket(df: DataFrame, cols: list[str],
         # Small-input fallback (one cheap retry): at a few thousand rows the
         # fixed-fraction probe yields ~0 keys, collapsing everything into one
         # bucket — the single-partition global window this module exists to
-        # avoid.  The count is now known, so re-sample at the exact fraction.
-        want = min(cnt, n * SAMPLE_PER_BUCKET)
-        if len(keys) < max(1, want // 4) and want / cnt > PROBE_FRACTION:
-            keys = sorted(tuple(r) for r in df.select(*cols)
-                          .sample(False, min(1.0, want / cnt), seed=_SEED)
-                          .collect())
+        # avoid.  Retry ONLY when the probe cannot even form n boundaries
+        # (so the common case pays no extra job); the count is now known, so
+        # the retry samples at the exact fraction.
+        if len(keys) < n and cnt > len(keys):
+            want = min(cnt, n * SAMPLE_PER_BUCKET)
+            if want / cnt > PROBE_FRACTION:
+                keys = sorted(tuple(r) for r in df.select(*cols)
+                              .sample(False, min(1.0, want / cnt), seed=_SEED)
+                              .collect())
     bounds: list[tuple] = []
     if keys:
         step = max(1, len(keys) // n)
