@@ -340,6 +340,53 @@ def _q_describe(spark, sf_dir):
     return sparql.query(_kg(spark, sf_dir), f"DESCRIBE <{ENT_SPARK}>")
 
 
+def _q_path_seq(spark, sf_dir):
+    """§2.5: property path sequence — <hasTurn>/<mentions> desugars to a
+    fresh-variable ID-level BGP join."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        f"SELECT ?c ?e {{ ?c <{rules.P_HASTURN}>/<{rules.P_MENTIONS}> ?e }}"))
+
+
+def _q_path_alt(spark, sf_dir):
+    """§2.5: property path alternative — (<mentions>|<role>) multiplies
+    into UNION arms."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        f"SELECT ?t ?x {{ ?t (<{rules.P_MENTIONS}>|<{rules.P_ROLE}>) ?x }}"))
+
+
+P_PREVDOC = f"{rules.BASE}/p/prevDoc"
+
+
+def _chain_kg(spark, sf_dir):
+    """A doc-chain KG (doc_i -prevDoc-> doc_{i-1} within each decade):
+    multi-hop structure for the transitive-closure path row — the
+    documents-derived transcripts are single-turn, so the main KG has no
+    chains deeper than one hop."""
+    key = ("chain", id(spark), sf_dir)
+    if key not in _kg_cache:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tri = docs.filter(F.col("doc_id") % 10 != 0).select(
+            F.concat(F.lit(f"{rules.BASE}/d/"),
+                     F.col("doc_id").cast("string")).alias("s"),
+            F.lit(P_PREVDOC).alias("p"),
+            F.concat(F.lit(f"{rules.BASE}/d/"),
+                     (F.col("doc_id") - 1).cast("string")).alias("o"),
+        )
+        _kg_cache[key] = pipeline.build_kg_from_triples(
+            tri, with_adjacency=False)
+    return _kg_cache[key]
+
+
+def _q_path_plus(spark, sf_dir):
+    """§2.5: one-or-more path — distributed semi-naive transitive closure
+    over the doc chain (depth up to 9)."""
+    from hdtspark import sparql
+    return sparql.query(_chain_kg(spark, sf_dir),
+                        f"SELECT ?a ?b {{ ?a <{P_PREVDOC}>+ ?b }}")
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -398,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": _q_sparql_minus,
         "kg_construct": _q_construct,
         "kg_describe": _q_describe,
+        "kg_path_seq": _q_path_seq,
+        "kg_path_alt": _q_path_alt,
+        "kg_path_plus": _q_path_plus,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
@@ -516,6 +566,27 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT s, p, o FROM tri "
             f"WHERE s = '{ENT_SPARK}' OR o = '{ENT_SPARK}'"
         ),
+        "kg_path_seq": k(
+            f"SELECT t1.s AS c, t2.o AS e FROM tri t1 JOIN tri t2 "
+            f"ON t1.o = t2.s AND t1.p = '{rules.P_HASTURN}' "
+            f"AND t2.p = '{rules.P_MENTIONS}'"
+        ),
+        "kg_path_alt": k(
+            f"SELECT s AS t, o AS x FROM tri "
+            f"WHERE p IN ('{rules.P_MENTIONS}', '{rules.P_ROLE}')"
+        ),
+        "kg_path_plus": f"""
+WITH RECURSIVE edges AS (
+  SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS a,
+         '{rules.BASE}/d/' || CAST(doc_id - 1 AS VARCHAR) AS b
+  FROM documents WHERE doc_id % 10 <> 0
+), cl AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT cl.a, e.b FROM cl JOIN edges e ON cl.b = e.a
+)
+SELECT a, b FROM cl
+""",
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),
         "dd_minhash": oracles.minhash_oracle(num_hashes=8, bands=4,

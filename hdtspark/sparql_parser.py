@@ -71,6 +71,15 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
     return out
 
 
+@dataclass(frozen=True)
+class PlusPath:
+    """One-or-more closure over a single predicate (property path ``p+``),
+    kept symbolic in the pattern list; the evaluator runs a distributed
+    semi-naive transitive closure for it (sparql_parser._closure_pairs)."""
+
+    iri: str
+
+
 @dataclass
 class Group:
     """One group graph pattern: a BGP plus its modifiers, in evaluation
@@ -136,6 +145,7 @@ class _Parser:
         self.i = 0
         self.base: str | None = None
         self.prefixes: dict[str, str] = {}
+        self._fresh = 0      # fresh-variable counter for path desugaring
 
     # -- token helpers ------------------------------------------------------
     def peek(self):
@@ -360,7 +370,12 @@ class _Parser:
         return " ".join(parts), var
 
     def _group(self) -> list[Group]:
-        """-> list of UNION arms, each a full (possibly nested) Group."""
+        """-> list of UNION arms, each a full (possibly nested) Group.
+
+        Property-path alternatives (``p1|p2``) desugar into EXTRA arms (the
+        group is copied per alternative combination), so the downstream
+        evaluator only ever sees plain triple patterns plus symbolic
+        ``PlusPath`` markers."""
         assert self.next()[0] == "lbrace", "expected {"
         if self.peek()[0] == "lbrace":  # { group } UNION { group } ...
             arms = self._group()
@@ -370,6 +385,7 @@ class _Parser:
             assert self.next()[0] == "rbrace", "expected }"
             return arms
         g = Group()
+        variants: list[list] = [[]]   # pattern-list alternatives
         while self.peek()[0] != "rbrace":
             if self.at_word("FILTER"):
                 self.next()
@@ -392,13 +408,83 @@ class _Parser:
                 g.values.append(self._values_block())
             else:
                 s = self.term(*self.next())
-                p = self.term(*self.next())
-                o = self.term(*self.next())
-                g.patterns.append((s, p, o))
+                if self.peek()[0] == "var":
+                    alts = [[(s, self.term(*self.next()),
+                              self.term(*self.next()))]]
+                else:
+                    path = self._path_expr()
+                    o = self.term(*self.next())
+                    alts = self._desugar_path(s, path, o)
+                variants = [v + alt for v in variants for alt in alts]
             if self.peek()[0] == "dot":
                 self.next()
         self.next()  # rbrace
-        return [g]
+        g.patterns = variants[0]
+        if len(variants) == 1:
+            return [g]
+        from dataclasses import replace
+        return [g] + [replace(g, patterns=v) for v in variants[1:]]
+
+    # -- property paths (SPARQL 1.1 subset: iri, ^, /, |, +) ----------------
+
+    def _path_expr(self):
+        left = self._path_seq()
+        while self.peek() == ("other", "|"):
+            self.next()
+            left = ("alt", left, self._path_seq())
+        return left
+
+    def _path_seq(self):
+        left = self._path_unary()
+        while self.peek() == ("other", "/"):
+            self.next()
+            left = ("seq", left, self._path_unary())
+        return left
+
+    def _path_unary(self):
+        k, v = self.peek()
+        if (k, v) == ("other", "^"):
+            self.next()
+            node = ("inv", self._path_unary())
+        elif k == "lparen":
+            self.next()
+            node = self._path_expr()
+            assert self.next()[0] == "rparen", "property path needs )"
+        else:
+            node = ("iri", self.term(*self.next()))
+        while self.peek() == ("other", "+"):
+            self.next()
+            node = ("plus", node)
+        return node
+
+    def _desugar_path(self, s, node, o) -> list[list]:
+        """(s, path, o) -> pattern-list ALTERNATIVES: ``/`` introduces a
+        fresh join variable, ``^`` swaps subject/object, ``|`` multiplies
+        alternatives; ``+`` stays symbolic (PlusPath) for the evaluator's
+        distributed closure.  Everything except ``+`` therefore rides the
+        existing ID-level BGP compiler unchanged."""
+        kind = node[0]
+        if kind == "iri":
+            return [[(s, node[1], o)]]
+        if kind == "inv":
+            return self._desugar_path(o, node[1], s)
+        if kind == "alt":
+            return (self._desugar_path(s, node[1], o)
+                    + self._desugar_path(s, node[2], o))
+        if kind == "seq":
+            self._fresh += 1
+            mid = f"?_path{self._fresh}"
+            return [l + r for l in self._desugar_path(s, node[1], mid)
+                    for r in self._desugar_path(mid, node[2], o)]
+        if kind == "plus":
+            inner = node[1]
+            if inner[0] == "iri":
+                return [[(s, PlusPath(inner[1]), o)]]
+            if inner[0] == "inv" and inner[1][0] == "iri":
+                return [[(o, PlusPath(inner[1][1]), s)]]
+            raise ValueError(
+                "path '+' supports a single (optionally inverted) IRI")
+        raise ValueError(f"unsupported property path {node!r}")
 
     def _pattern_block(self) -> list[tuple[str, str, str]]:
         """{ (term term term .?)* } — the CONSTRUCT template."""
@@ -461,6 +547,104 @@ def parse(q: str) -> Query:
     return _Parser(q).parse()
 
 
+CLOSURE_MAX_ITERS = 64
+
+
+def _closure_pairs(kg: KG, iri: str, seed: str | None = None,
+                   seed_on_a: bool = True,
+                   max_iters: int = CLOSURE_MAX_ITERS) -> DataFrame:
+    """One-or-more transitive closure of predicate ``iri`` as (a, b)
+    canonical-string pairs — distributed semi-naive iteration: per step one
+    equi-join of the FRONTIER (not the accumulated set) with the base
+    relation plus a left-anti dedup against the accumulator; frontier and
+    accumulator are persisted per step and stale pieces released, so the
+    per-step shuffle is frontier-sized.  With ``seed`` (a bound endpoint)
+    the iteration is a BFS from that node — the frontier stays result-sized
+    instead of graph-sized (the reference's pruned-walk analog; full-closure
+    over 100 TB without a bound endpoint is inherently output-sized and the
+    caller should bound it).  Terminates when the frontier empties; raises
+    after ``max_iters`` (cycle-safe: the anti-join makes progress or stops).
+    """
+    from pyspark.sql import functions as F
+
+    from .query import triples_with_pattern
+
+    base = triples_with_pattern(kg, p=iri).select(
+        F.col("s").alias("a"), F.col("o").alias("b"))
+    # localCheckpoint (not persist): iterative plans otherwise DOUBLE their
+    # lineage tree each step (acc feeds new feeds acc), exploding plan
+    # compilation exponentially.  The checkpoint pins the materialized
+    # blocks and truncates the plan to them; on a cluster a reliable
+    # checkpoint dir would replace it for executor-loss tolerance.
+
+    if seed is not None:
+        src, dst = ("a", "b") if seed_on_a else ("b", "a")
+        acc = (base.filter(F.col(src) == seed).select(dst).distinct()
+               .localCheckpoint())
+        frontier = acc
+        for _ in range(max_iters):
+            new = (frontier.select(F.col(dst).alias("_n"))
+                   .join(base, F.col("_n") == F.col(src))
+                   .select(dst).distinct()
+                   .join(acc, [dst], "left_anti").localCheckpoint())
+            if new.isEmpty():
+                break
+            acc = acc.unionAll(new).localCheckpoint()
+            frontier = new
+        else:
+            raise ValueError(f"path closure exceeded {max_iters} iterations")
+        if seed_on_a:
+            return acc.select(F.lit(seed).alias("a"), F.col("b"))
+        return acc.select(F.col("a"), F.lit(seed).alias("b"))
+
+    acc = base.distinct().localCheckpoint()
+    frontier = acc
+    for _ in range(max_iters):
+        new = (frontier.select(F.col("a").alias("_fa"), F.col("b").alias("_n"))
+               .join(base, F.col("_n") == F.col("a"))
+               .select(F.col("_fa").alias("a"), "b").distinct()
+               .join(acc, ["a", "b"], "left_anti").localCheckpoint())
+        if new.isEmpty():
+            break
+        acc = acc.unionAll(new).localCheckpoint()
+        frontier = new
+    else:
+        raise ValueError(f"path closure exceeded {max_iters} iterations")
+    return acc
+
+
+def _join_closure(kg: KG, df: DataFrame | None, s: str, iri: str,
+                  o: str) -> DataFrame:
+    """Join one ``s p+ o`` closure pattern into the accumulated solutions."""
+    from pyspark.sql import functions as F
+
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    if s_var and o_var:
+        rel = _closure_pairs(kg, iri)
+        if s == o:
+            rel = rel.filter(F.col("a") == F.col("b")).select(
+                F.col("a").alias(s[1:]))
+        else:
+            rel = rel.select(F.col("a").alias(s[1:]), F.col("b").alias(o[1:]))
+    elif o_var:   # s bound: BFS forward from s
+        rel = _closure_pairs(kg, iri, seed=s, seed_on_a=True).select(
+            F.col("b").alias(o[1:]))
+    elif s_var:   # o bound: BFS backward from o
+        rel = _closure_pairs(kg, iri, seed=o, seed_on_a=False).select(
+            F.col("a").alias(s[1:]))
+    else:         # both bound: existence test
+        hit = (_closure_pairs(kg, iri, seed=s, seed_on_a=True)
+               .filter(F.col("b") == o).limit(1).count()) > 0
+        if df is None:
+            one = kg.spo.sparkSession.range(1).drop("id")
+            return one if hit else one.limit(0)
+        return df if hit else df.limit(0)
+    if df is None:
+        return rel
+    common = [c for c in df.columns if c in rel.columns]
+    return df.join(rel, on=common, how="inner") if common else df.crossJoin(rel)
+
+
 def _eval_group(kg: KG, g: Group) -> DataFrame:
     """Evaluate one group graph pattern to a solutions DataFrame.
 
@@ -474,7 +658,11 @@ def _eval_group(kg: KG, g: Group) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark = kg.spo.sparkSession
-    df = bgp_mod.bgp(kg, g.patterns) if g.patterns else None
+    plain = [t for t in g.patterns if not isinstance(t[1], PlusPath)]
+    closures = [t for t in g.patterns if isinstance(t[1], PlusPath)]
+    df = bgp_mod.bgp(kg, plain) if plain else None
+    for s, pp, o in closures:
+        df = _join_closure(kg, df, s, pp.iri, o)
     for vars_, rows in g.values:
         schema = ", ".join(f"`{v}` string" for v in vars_)
         vdf = spark.createDataFrame(rows, schema)
@@ -515,6 +703,10 @@ def _eval_group(kg: KG, g: Group) -> DataFrame:
                          how="left_anti")
     for fsql in g.filters:
         df = df.where(F.expr(fsql))
+    # fresh join variables from path desugaring are internal: project away
+    hidden = [c for c in df.columns if c.startswith("_path")]
+    if hidden:
+        df = df.drop(*hidden)
     return df
 
 

@@ -332,3 +332,98 @@ def test_describe(kg, golden_oracle):
     expected = {t for t in spo if t[0] == spark_e or t[2] == spark_e}
     assert {(r["s"], r["p"], r["o"]) for r in rows} == expected
     assert rows
+
+
+def test_path_sequence_and_inverse(kg, golden_oracle):
+    """p1/p2 desugars to a fresh-variable join (ID-level); ^p swaps s/o.
+    Sequence-path multiplicity follows the SPARQL spec (one solution per
+    intermediate binding)."""
+    hasturn = golden_oracle.pattern(None, rules.P_HASTURN, None)
+    mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
+    by_turn: dict[str, list[str]] = {}
+    for t, _, e in mentions:
+        by_turn.setdefault(t, []).append(e)
+    rows = sparql.query(
+        kg, f"SELECT ?c ?e {{ ?c <{rules.P_HASTURN}>/<{rules.P_MENTIONS}> ?e }}"
+    ).collect()
+    expected = sorted((c, e) for c, _, t in hasturn
+                      for e in by_turn.get(t, []))
+    assert sorted((r["c"], r["e"]) for r in rows) == expected
+    assert rows
+
+    inv = sparql.query(
+        kg, f"SELECT ?e ?t {{ ?e ^<{rules.P_MENTIONS}> ?t }}").collect()
+    assert {(r["e"], r["t"]) for r in inv} == {(e, t) for t, _, e in mentions}
+
+
+def test_path_alternative(kg, golden_oracle):
+    """p1|p2 multiplies into extra UNION arms."""
+    roles = golden_oracle.pattern(None, rules.P_ROLE, None)
+    tools = golden_oracle.pattern(None, rules.P_TOOL, None)
+    rows = sparql.query(
+        kg, f"SELECT ?s ?o {{ ?s (<{rules.P_ROLE}>|<{rules.P_TOOL}>) ?o }}"
+    ).collect()
+    expected = {(s, o) for s, _, o in roles} | {(s, o) for s, _, o in tools}
+    assert {(r["s"], r["o"]) for r in rows} == expected
+    assert rows
+
+
+def _prev_closure(golden_oracle):
+    """All (later, earlier) turn pairs from the prev-chain edges."""
+    edges = {s: o for s, _, o in golden_oracle.pattern(None, rules.P_PREV, None)}
+    pairs = set()
+    for start in edges:
+        cur = start
+        while cur in edges:
+            cur = edges[cur]
+            pairs.add((start, cur))
+    return edges, pairs
+
+
+def test_path_plus_closure(kg, golden_oracle):
+    """p+ = distributed semi-naive transitive closure (both endpoints free)."""
+    edges, pairs = _prev_closure(golden_oracle)
+    assert any((a, b) in pairs for a in edges for b in edges
+               if edges.get(edges.get(a)) == b)  # depth >= 2 exists
+    rows = sparql.query(
+        kg, f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>+ ?b }}").collect()
+    assert {(r["a"], r["b"]) for r in rows} == pairs
+
+
+def test_path_plus_seeded(kg, golden_oracle):
+    """Bound endpoints run as a BFS from the seed, not a full closure."""
+    edges, pairs = _prev_closure(golden_oracle)
+    # a turn with depth >= 2 behind it
+    start = next(a for a in edges if edges.get(a) in edges)
+    rows = sparql.query(
+        kg, f"SELECT ?b {{ <{start}> <{rules.P_PREV}>+ ?b }}").collect()
+    assert {r["b"] for r in rows} == {b for a, b in pairs if a == start}
+    end = edges[edges[start]]
+    back = sparql.query(
+        kg, f"SELECT ?a {{ ?a <{rules.P_PREV}>+ <{end}> }}").collect()
+    assert {r["a"] for r in back} == {a for a, b in pairs if b == end}
+    # both bound: existence (ASK)
+    assert sparql.query(
+        kg, f"ASK {{ <{start}> <{rules.P_PREV}>+ <{end}> }}").first()["ask"] \
+        is True
+    assert sparql.query(
+        kg, f"ASK {{ <{end}> <{rules.P_PREV}>+ <{start}> }}").first()["ask"] \
+        is False
+
+
+def test_path_grouped_combo(kg, golden_oracle):
+    """Parenthesized paths compose: seq over an alternative."""
+    hasturn = golden_oracle.pattern(None, rules.P_HASTURN, None)
+    roles = {s: o for s, _, o in golden_oracle.pattern(None, rules.P_ROLE, None)}
+    tools = {s: o for s, _, o in golden_oracle.pattern(None, rules.P_TOOL, None)}
+    rows = sparql.query(
+        kg, f"SELECT ?c ?x {{ ?c <{rules.P_HASTURN}>/"
+            f"(<{rules.P_ROLE}>|<{rules.P_TOOL}>) ?x }}").collect()
+    expected = sorted([(c, roles[t]) for c, _, t in hasturn if t in roles]
+                      + [(c, tools[t]) for c, _, t in hasturn if t in tools])
+    assert sorted((r["c"], r["x"]) for r in rows) == expected
+
+
+def test_path_plus_rejects_complex_inner():
+    with pytest.raises(ValueError, match="path '\\+'"):
+        parse("SELECT ?a { ?a (<http://p>/<http://q>)+ ?b }")
