@@ -208,6 +208,21 @@ SWEEP = [
     ("describe_two", f"DESCRIBE <{SPARK_E}> <{SQL_E}>", None),
     ("describe_pname", f"PREFIX e: <{BASE}/e/> DESCRIBE e:apache-spark",
      None),
+    # --- property paths --------------------------------------------------
+    ("path_seq", f"SELECT ?c ?e {{ ?c <{rules.P_HASTURN}>/<{M}> ?e }}", None),
+    ("path_alt", f"SELECT ?s ?o {{ ?s (<{M}>|<{T}>) ?o }}",
+     lambda o: ({(oo, s) for s, _, oo in _mentions(o)}
+                | {(oo, s) for s, _, oo in o.pattern(None, T, None)})),
+    ("path_inverse", f"SELECT ?e ?t {{ ?e ^<{M}> ?t }}",
+     lambda o: {(oo, s) for s, _, oo in _mentions(o)}),
+    ("path_inv_seq", f"SELECT ?a ?b {{ ?a ^<{M}>/<{M}> ?b }}", None),
+    ("path_plus", f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>+ ?b }}", None),
+    ("path_plus_seeded_ask",
+     f"ASK {{ ?a <{rules.P_PREV}>+ <{BASE}/conv/nope/t/0> }}",
+     lambda o: {(False,)}),
+    ("path_paren_combo",
+     f"SELECT ?c ?x {{ ?c <{rules.P_HASTURN}>/(<{ROLE}>|<{TOOL}>) ?x }}",
+     None),
     # --- whitespace / syntax robustness ----------------------------------
     ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}", None),
     ("trailing_dots", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> . }}", None),
