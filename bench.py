@@ -64,8 +64,9 @@ def main() -> None:
     wkg.unpersist()       # release EVERY build's persists before the next:
     warm.unpersist()      # accumulated caches were r2's 3-9x documents-build
                           # slowdown (VERDICT r2 "What's wrong" #1)
-    wkg2 = _build_and_materialize(
-        pipeline, entrymod._transcripts_from_documents(spark, sf_dir).limit(2000))
+    docs_warm = entrymod._transcripts_from_documents(spark, sf_dir).filter(
+        F.crc32(F.col("conv_id")) % 50 == 0)   # ~2% sample, SAME plan shape
+    wkg2 = _build_and_materialize(pipeline, docs_warm)
     wkg2.unpersist()
 
     # --- 1. KG pipeline on the synthetic corpus (distributed generation) ---
