@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Compress serialized cached blocks (the DISK_ONLY triples_str cache
+        # is string-heavy, ~4-6x compressible): on a single box the scaling
+        # limiter is shared memory bandwidth, and trading bytes for (fully
+        # parallel) codec CPU moves work from the contended to the scalable
+        # resource.  Shuffle/spill compression is already on by default.
+        .config("spark.rdd.compress", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("HDTSPARK_DRIVER_MEM", "16g"))
