@@ -209,6 +209,12 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
             extra={"n_shared": d.n_shared, "n_subjects": d.n_subjects,
                    "n_predicates": d.n_predicates, "n_objects": d.n_objects},
         )
+        # The stage is now durable parquet; release the build-time dict's
+        # persisted ids table AND its ranked-terms input cache (deps) before
+        # rebinding ``d`` to the read-back sections — otherwise every cold
+        # dict-stage build leaks both for the life of the JVM (ADVICE r4:
+        # the same accumulated-cache class as the r2 3-9x regression).
+        d.unpersist()
     else:
         mat.write_stage("dict", None, tri_fp)
     dict_manifest = mat.read_manifest("dict")

@@ -111,6 +111,11 @@ class Query:
     form: str = "select"          # 'select' | 'ask' | 'construct' | 'describe'
     template: list[tuple[str, str, str]] | None = None  # CONSTRUCT triples
     describe: list[str] = field(default_factory=list)   # DESCRIBE resources
+    # fresh join variables introduced by path desugaring — dropped from the
+    # solution columns after group evaluation.  Tracked EXPLICITLY (ADVICE
+    # r4): a user variable like ?_pathLen is legal SPARQL and must survive,
+    # so hiding by name-prefix match would silently corrupt solutions.
+    hidden_vars: frozenset = frozenset()
 
     # -- legacy views (round-3 AST shape), used by existing tests ----------
     @property
@@ -146,6 +151,15 @@ class _Parser:
         self.base: str | None = None
         self.prefixes: dict[str, str] = {}
         self._fresh = 0      # fresh-variable counter for path desugaring
+        # Fresh-variable prefix uniquified against the query's ACTUAL
+        # variables (ADVICE r4: a user-written ?_path1 must neither collide
+        # with a desugaring variable nor be silently dropped).
+        user_vars = {v[1:] for k, v in self.toks if k == "var"}
+        prefix = "_path"
+        while any(u.startswith(prefix) for u in user_vars):
+            prefix += "_"
+        self._fresh_prefix = prefix
+        self.fresh_vars: set[str] = set()
 
     # -- token helpers ------------------------------------------------------
     def peek(self):
@@ -244,7 +258,8 @@ class _Parser:
             self.next()
         arms = self._group()
         q = Query(select=select, arms=arms, distinct=distinct, form=form,
-                  template=template)
+                  template=template,
+                  hidden_vars=frozenset(self.fresh_vars))
         while self.peek()[0] != "eof":
             if self.at_word("GROUP"):
                 self.next()
@@ -473,7 +488,8 @@ class _Parser:
                     + self._desugar_path(s, node[2], o))
         if kind == "seq":
             self._fresh += 1
-            mid = f"?_path{self._fresh}"
+            mid = f"?{self._fresh_prefix}{self._fresh}"
+            self.fresh_vars.add(mid[1:])
             return [l + r for l in self._desugar_path(s, node[1], mid)
                     for r in self._desugar_path(mid, node[2], o)]
         if kind == "plus":
@@ -547,94 +563,181 @@ def parse(q: str) -> Query:
     return _Parser(q).parse()
 
 
+# Per-step iteration cap for `p+`/`p*` closures — cycle-safe upper bound on
+# graph diameter.  Read at CALL time (not bound as a default), so a caller
+# facing a deeper-than-64 graph can raise it per query:
+#     sparql_parser.CLOSURE_MAX_ITERS = 256
 CLOSURE_MAX_ITERS = 64
 
 
-def _closure_pairs(kg: KG, iri: str, seed: str | None = None,
-                   seed_on_a: bool = True,
-                   max_iters: int = CLOSURE_MAX_ITERS) -> DataFrame:
-    """One-or-more transitive closure of predicate ``iri`` as (a, b)
-    canonical-string pairs — distributed semi-naive iteration: per step one
-    equi-join of the FRONTIER (not the accumulated set) with the base
-    relation plus a left-anti dedup against the accumulator; frontier and
-    accumulator are persisted per step and stale pieces released, so the
-    per-step shuffle is frontier-sized.  With ``seed`` (a bound endpoint)
-    the iteration is a BFS from that node — the frontier stays result-sized
-    instead of graph-sized (the reference's pruned-walk analog; full-closure
-    over 100 TB without a bound endpoint is inherently output-sized and the
+def _pred_id(kg: KG, iri: str) -> int | None:
+    """Predicate term -> id (one point-filter job); None if absent."""
+    from pyspark.sql import functions as F
+
+    rows = kg.dict.predicates.filter(F.col("term") == iri).select("id").collect()
+    return rows[0]["id"] if rows else None
+
+
+def _closure_base_ids(kg: KG, pid: int) -> DataFrame:
+    """Edge relation of predicate ``pid`` as ID pairs from the PSO
+    projection: (a = subject-space id, b = object-space id).  The pruned
+    p-filter scan is the same route as Q6 (?P?); no strings anywhere."""
+    from pyspark.sql import functions as F
+
+    return kg.pso.filter(F.col("p") == pid).select(
+        F.col("s").alias("a"), F.col("o").alias("b"))
+
+
+def closure_step_ids(frontier: DataFrame, base: DataFrame, n_shared: int,
+                     carry_a: bool) -> DataFrame:
+    """One semi-naive expansion step, entirely on 8-byte IDs (the plan the
+    100x design depends on — locked in tests/test_plans.py).
+
+    A walk continues from a frontier node's OBJECT id through an edge whose
+    SUBJECT id equals it numerically — valid only in the shared section
+    (subject and object ids collide numerically above ``n_shared``; a term
+    occurring as both subject and object is by construction shared, with one
+    id).  Both sides carry the ``<= n_shared`` guard: non-shared object ids
+    are dead ends (correct — they have no outgoing edges) and the guard
+    prevents FALSE numeric matches against non-shared subject ids.
+
+    ``carry_a``: keep the frontier's origin column ``a`` (full closure);
+    otherwise the frontier is a bare reachable-set column ``b`` (BFS)."""
+    from pyspark.sql import functions as F
+
+    f = frontier.filter(F.col("b") <= n_shared)
+    bb = base.filter(F.col("a") <= n_shared)
+    if carry_a:
+        return (f.select(F.col("a").alias("_fa"), F.col("b").alias("_n"))
+                .join(bb, F.col("_n") == F.col("a"))
+                .select(F.col("_fa").alias("a"), "b").distinct())
+    return (f.select(F.col("b").alias("_n"))
+            .join(bb, F.col("_n") == F.col("a"))
+            .select("b").distinct())
+
+
+def _closure_pairs_ids(kg: KG, pid: int | None, seed_id: int | None = None,
+                       seed_on_a: bool = True, seeded: bool = False,
+                       max_iters: int | None = None) -> DataFrame:
+    """One-or-more transitive closure of predicate ``pid`` at the ID level
+    (VERDICT r4 next #2 — r3/r4 iterated on canonical-string pairs, paying
+    ~10x-wider shuffle rows per step than the 8-byte ids need).
+
+    Distributed semi-naive iteration: per step ONE equi-join of the FRONTIER
+    (not the accumulated set) with the base edge relation plus a left-anti
+    dedup against the accumulator, so the per-step shuffle is
+    frontier-sized.  Unseeded -> all (a, b) pairs (a subject-space, b
+    object-space).  Seeded -> the reachable set as a single column (``b``
+    object-space ids forward, ``a`` subject-space ids backward) — a BFS
+    whose frontier stays result-sized (the reference's pruned-walk analog;
+    full closure without a bound endpoint is inherently output-sized and the
     caller should bound it).  Terminates when the frontier empties; raises
-    after ``max_iters`` (cycle-safe: the anti-join makes progress or stops).
+    after ``max_iters`` steps (cycle-safe: the anti-join shrinks or stops).
+
+    localCheckpoint (not persist): iterative plans otherwise DOUBLE their
+    lineage tree each step, exploding plan compilation exponentially.  The
+    checkpoint pins materialized blocks and truncates the plan to them;
+    superseded blocks are NOT freed eagerly — they are reclaimed by the
+    ContextCleaner once the superseded frontier/accumulator plans are
+    garbage-collected (this loop drops its references each step; on a
+    cluster a reliable checkpoint dir would replace localCheckpoint for
+    executor-loss tolerance).  Peak extra storage is bounded by a few
+    frontier generations of 16-byte rows.
     """
     from pyspark.sql import functions as F
 
-    from .query import triples_with_pattern
+    if max_iters is None:
+        max_iters = CLOSURE_MAX_ITERS
+    spark = kg.spo.sparkSession
+    n_shared = kg.dict.n_shared
 
-    base = triples_with_pattern(kg, p=iri).select(
-        F.col("s").alias("a"), F.col("o").alias("b"))
-    # localCheckpoint (not persist): iterative plans otherwise DOUBLE their
-    # lineage tree each step (acc feeds new feeds acc), exploding plan
-    # compilation exponentially.  The checkpoint pins the materialized
-    # blocks and truncates the plan to them; on a cluster a reliable
-    # checkpoint dir would replace it for executor-loss tolerance.
-
-    if seed is not None:
-        src, dst = ("a", "b") if seed_on_a else ("b", "a")
-        acc = (base.filter(F.col(src) == seed).select(dst).distinct()
+    if seeded:
+        out_col = "b" if seed_on_a else "a"
+        if pid is None or seed_id is None:
+            return spark.createDataFrame([], f"{out_col} long")
+        base = _closure_base_ids(kg, pid)
+        if not seed_on_a:
+            # walk edges backwards: swap roles once, reuse the forward step
+            base = base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        acc = (base.filter(F.col("a") == seed_id).select("b").distinct()
                .localCheckpoint())
         frontier = acc
         for _ in range(max_iters):
-            new = (frontier.select(F.col(dst).alias("_n"))
-                   .join(base, F.col("_n") == F.col(src))
-                   .select(dst).distinct()
-                   .join(acc, [dst], "left_anti").localCheckpoint())
+            new = (closure_step_ids(frontier, base, n_shared, carry_a=False)
+                   .join(acc, ["b"], "left_anti").localCheckpoint())
             if new.isEmpty():
                 break
             acc = acc.unionAll(new).localCheckpoint()
             frontier = new
         else:
-            raise ValueError(f"path closure exceeded {max_iters} iterations")
-        if seed_on_a:
-            return acc.select(F.lit(seed).alias("a"), F.col("b"))
-        return acc.select(F.col("a"), F.lit(seed).alias("b"))
+            raise ValueError(f"path closure exceeded {max_iters} iterations"
+                             " (raise sparql_parser.CLOSURE_MAX_ITERS)")
+        return acc.select(F.col("b").alias(out_col))
 
+    if pid is None:
+        return spark.createDataFrame([], "a long, b long")
+    base = _closure_base_ids(kg, pid)
     acc = base.distinct().localCheckpoint()
     frontier = acc
     for _ in range(max_iters):
-        new = (frontier.select(F.col("a").alias("_fa"), F.col("b").alias("_n"))
-               .join(base, F.col("_n") == F.col("a"))
-               .select(F.col("_fa").alias("a"), "b").distinct()
+        new = (closure_step_ids(frontier, base, n_shared, carry_a=True)
                .join(acc, ["a", "b"], "left_anti").localCheckpoint())
         if new.isEmpty():
             break
         acc = acc.unionAll(new).localCheckpoint()
         frontier = new
     else:
-        raise ValueError(f"path closure exceeded {max_iters} iterations")
+        raise ValueError(f"path closure exceeded {max_iters} iterations"
+                         " (raise sparql_parser.CLOSURE_MAX_ITERS)")
     return acc
 
 
 def _join_closure(kg: KG, df: DataFrame | None, s: str, iri: str,
                   o: str) -> DataFrame:
-    """Join one ``s p+ o`` closure pattern into the accumulated solutions."""
+    """Join one ``s p+ o`` closure pattern into the accumulated solutions.
+
+    The closure itself runs on IDs (``_closure_pairs_ids``); the var columns
+    are translated to term strings ONCE here, result-sized, via the same
+    broadcast dictionary joins as the BGP compiler (sparql._translate_vars).
+    """
     from pyspark.sql import functions as F
 
+    from . import sparql as bgp_mod
+    from .query import _lookup_ids
+
+    pid = _pred_id(kg, iri)
     s_var, o_var = s.startswith("?"), o.startswith("?")
     if s_var and o_var:
-        rel = _closure_pairs(kg, iri)
+        pairs = _closure_pairs_ids(kg, pid)
         if s == o:
-            rel = rel.filter(F.col("a") == F.col("b")).select(
-                F.col("a").alias(s[1:]))
+            # same var both ends: a reflexive closure pair — ID equality is
+            # term equality only in the shared section (disjoint spaces)
+            ids = (pairs.filter((F.col("a") == F.col("b"))
+                                & (F.col("a") <= kg.dict.n_shared))
+                   .select(F.col("a").alias(s[1:])))
+            rel = bgp_mod._translate_vars(kg, ids, {s[1:]: "shared"})
         else:
-            rel = rel.select(F.col("a").alias(s[1:]), F.col("b").alias(o[1:]))
-    elif o_var:   # s bound: BFS forward from s
-        rel = _closure_pairs(kg, iri, seed=s, seed_on_a=True).select(
-            F.col("b").alias(o[1:]))
-    elif s_var:   # o bound: BFS backward from o
-        rel = _closure_pairs(kg, iri, seed=o, seed_on_a=False).select(
-            F.col("a").alias(s[1:]))
+            ids = pairs.select(F.col("a").alias(s[1:]),
+                               F.col("b").alias(o[1:]))
+            rel = bgp_mod._translate_vars(kg, ids, {s[1:]: "s", o[1:]: "o"})
+    elif o_var:   # s bound: BFS forward from s (seed is a subject-space id)
+        sid, _, _ = _lookup_ids(kg, s, None, None)
+        ids = _closure_pairs_ids(kg, pid, seed_id=sid or None,
+                                 seed_on_a=True, seeded=True)
+        rel = bgp_mod._translate_vars(
+            kg, ids.select(F.col("b").alias(o[1:])), {o[1:]: "o"})
+    elif s_var:   # o bound: BFS backward from o (seed is an object-space id)
+        _, _, oid = _lookup_ids(kg, None, None, o)
+        ids = _closure_pairs_ids(kg, pid, seed_id=oid or None,
+                                 seed_on_a=False, seeded=True)
+        rel = bgp_mod._translate_vars(
+            kg, ids.select(F.col("a").alias(s[1:])), {s[1:]: "s"})
     else:         # both bound: existence test
-        hit = (_closure_pairs(kg, iri, seed=s, seed_on_a=True)
-               .filter(F.col("b") == o).limit(1).count()) > 0
+        sid, _, oid = _lookup_ids(kg, s, None, o)
+        hit = bool(sid and oid) and (
+            _closure_pairs_ids(kg, pid, seed_id=sid, seed_on_a=True,
+                               seeded=True)
+            .filter(F.col("b") == oid).limit(1).count()) > 0
         if df is None:
             one = kg.spo.sparkSession.range(1).drop("id")
             return one if hit else one.limit(0)
@@ -645,7 +748,7 @@ def _join_closure(kg: KG, df: DataFrame | None, s: str, iri: str,
     return df.join(rel, on=common, how="inner") if common else df.crossJoin(rel)
 
 
-def _eval_group(kg: KG, g: Group) -> DataFrame:
+def _eval_group(kg: KG, g: Group, hidden: frozenset = frozenset()) -> DataFrame:
     """Evaluate one group graph pattern to a solutions DataFrame.
 
     BGP -> ID-level join compiler; VALUES -> broadcast join of the literal
@@ -691,12 +794,12 @@ def _eval_group(kg: KG, g: Group) -> DataFrame:
             raise ValueError(f"BIND would rebind ?{var}")
         df = df.withColumn(var, F.expr(sql))
     for arms in g.optionals:
-        odf = _eval_arms(kg, arms)
+        odf = _eval_arms(kg, arms, hidden)
         common = [c for c in df.columns if c in odf.columns]
         df = (df.join(odf, on=common, how="left") if common
               else df.join(odf, F.lit(True), "left"))
     for arms in g.minuses:
-        mdf = _eval_arms(kg, arms)
+        mdf = _eval_arms(kg, arms, hidden)
         common = [c for c in df.columns if c in mdf.columns]
         if common:
             df = df.join(mdf.select(*common).distinct(), on=common,
@@ -704,16 +807,19 @@ def _eval_group(kg: KG, g: Group) -> DataFrame:
     for fsql in g.filters:
         df = df.where(F.expr(fsql))
     # fresh join variables from path desugaring are internal: project away
-    hidden = [c for c in df.columns if c.startswith("_path")]
-    if hidden:
-        df = df.drop(*hidden)
+    # exactly the tracked names (never user variables — ADVICE r4)
+    drop = [c for c in df.columns if c in hidden]
+    if drop:
+        df = df.drop(*drop)
     return df
 
 
-def _eval_arms(kg: KG, arms: list[Group]) -> DataFrame:
-    df = _eval_group(kg, arms[0])
+def _eval_arms(kg: KG, arms: list[Group],
+               hidden: frozenset = frozenset()) -> DataFrame:
+    df = _eval_group(kg, arms[0], hidden)
     for g in arms[1:]:
-        df = df.unionByName(_eval_group(kg, g), allowMissingColumns=True)
+        df = df.unionByName(_eval_group(kg, g, hidden),
+                            allowMissingColumns=True)
     return df
 
 
@@ -769,9 +875,16 @@ def query_df(kg: KG, q: str) -> DataFrame:
     ast = parse(q)
     if ast.form == "describe":
         return _describe_df(kg, ast.describe)
-    df = _eval_arms(kg, ast.arms)
+    df = _eval_arms(kg, ast.arms, ast.hidden_vars)
     if ast.form == "construct":
+        if ast.order_by:
+            # the output graph is a SET; an ORDER BY + LIMIT slice of the
+            # solution sequence is not representable here — fail loud
+            # (ADVICE r4) rather than return an arbitrary slice
+            raise ValueError("CONSTRUCT does not support ORDER BY")
         out = _construct_df(kg, df, ast.template)
+        if ast.offset is not None:
+            out = out.offset(ast.offset)
         if ast.limit is not None:
             out = out.limit(ast.limit)
         return out
