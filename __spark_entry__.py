@@ -381,10 +381,26 @@ def _chain_kg(spark, sf_dir):
 
 def _q_path_plus(spark, sf_dir):
     """§2.5: one-or-more path — distributed semi-naive transitive closure
-    over the doc chain (depth up to 9)."""
+    over the doc chain (depth up to 9), iterating on 8-byte IDs."""
     from hdtspark import sparql
     return sparql.query(_chain_kg(spark, sf_dir),
                         f"SELECT ?a ?b {{ ?a <{P_PREVDOC}>+ ?b }}")
+
+
+def _q_path_star(spark, sf_dir):
+    """§2.5: zero-or-more path — the p+ closure unioned (set semantics)
+    with reflexive pairs over the node set (= the dictionary's non-predicate
+    sections, no triple scan)."""
+    from hdtspark import sparql
+    return sparql.query(_chain_kg(spark, sf_dir),
+                        f"SELECT ?a ?b {{ ?a <{P_PREVDOC}>* ?b }}")
+
+
+def _q_path_opt(spark, sf_dir):
+    """§2.5: zero-or-one path — single step ∪ reflexive node pairs."""
+    from hdtspark import sparql
+    return sparql.query(_chain_kg(spark, sf_dir),
+                        f"SELECT ?a ?b {{ ?a <{P_PREVDOC}>? ?b }}")
 
 
 def _q_mm_features(spark, sf_dir):
@@ -448,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
         "kg_path_plus": _q_path_plus,
+        "kg_path_star": _q_path_star,
+        "kg_path_opt": _q_path_opt,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
@@ -586,6 +604,32 @@ WITH RECURSIVE edges AS (
   SELECT cl.a, e.b FROM cl JOIN edges e ON cl.b = e.a
 )
 SELECT a, b FROM cl
+""",
+        # star/opt: closure/step ∪ reflexive pairs over the chain graph's
+        # node set (UNION dedups, matching the engine's set semantics)
+        "kg_path_star": f"""
+WITH RECURSIVE edges AS (
+  SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS a,
+         '{rules.BASE}/d/' || CAST(doc_id - 1 AS VARCHAR) AS b
+  FROM documents WHERE doc_id % 10 <> 0
+), cl AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT cl.a, e.b FROM cl JOIN edges e ON cl.b = e.a
+), nodes AS (
+  SELECT a AS n FROM edges UNION SELECT b FROM edges
+)
+SELECT a, b FROM cl UNION SELECT n, n FROM nodes
+""",
+        "kg_path_opt": f"""
+WITH edges AS (
+  SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS a,
+         '{rules.BASE}/d/' || CAST(doc_id - 1 AS VARCHAR) AS b
+  FROM documents WHERE doc_id % 10 <> 0
+), nodes AS (
+  SELECT a AS n FROM edges UNION SELECT b FROM edges
+)
+SELECT a, b FROM edges UNION SELECT n, n FROM nodes
 """,
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),

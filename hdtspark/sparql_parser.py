@@ -75,7 +75,27 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 class PlusPath:
     """One-or-more closure over a single predicate (property path ``p+``),
     kept symbolic in the pattern list; the evaluator runs a distributed
-    semi-naive transitive closure for it (sparql_parser._closure_pairs)."""
+    semi-naive transitive closure for it (_closure_pairs_ids)."""
+
+    iri: str
+
+
+@dataclass(frozen=True)
+class StarPath:
+    """Zero-or-more (``p*``) — evaluated as the duplicate-free union of the
+    zero-length arm (reflexive pairs over the graph's NODE set, which is
+    exactly the dictionary's shared+subjects+objects sections — no triple
+    scan) and the ``p+`` closure.  Kept symbolic, not desugared into UNION
+    arms: SPARQL path semantics are SET-based (W3C ALP), so a cyclic graph
+    must not yield duplicate (x, x) rows from both arms."""
+
+    iri: str
+
+
+@dataclass(frozen=True)
+class OptPath:
+    """Zero-or-one (``p?``) — duplicate-free union of the zero-length arm
+    and the single-step pattern (same set semantics as StarPath)."""
 
     iri: str
 
@@ -467,9 +487,9 @@ class _Parser:
             assert self.next()[0] == "rparen", "property path needs )"
         else:
             node = ("iri", self.term(*self.next()))
-        while self.peek() == ("other", "+"):
-            self.next()
-            node = ("plus", node)
+        while self.peek() in (("other", "+"), ("other", "*"), ("other", "?")):
+            _, sym = self.next()
+            node = ({"+": "plus", "*": "star", "?": "opt"}[sym], node)
         return node
 
     def _desugar_path(self, s, node, o) -> list[list]:
@@ -492,14 +512,16 @@ class _Parser:
             self.fresh_vars.add(mid[1:])
             return [l + r for l in self._desugar_path(s, node[1], mid)
                     for r in self._desugar_path(mid, node[2], o)]
-        if kind == "plus":
+        if kind in ("plus", "star", "opt"):
+            wrap = {"plus": PlusPath, "star": StarPath, "opt": OptPath}[kind]
+            sym = {"plus": "+", "star": "*", "opt": "?"}[kind]
             inner = node[1]
             if inner[0] == "iri":
-                return [[(s, PlusPath(inner[1]), o)]]
+                return [[(s, wrap(inner[1]), o)]]
             if inner[0] == "inv" and inner[1][0] == "iri":
-                return [[(o, PlusPath(inner[1][1]), s)]]
+                return [[(o, wrap(inner[1][1]), s)]]
             raise ValueError(
-                "path '+' supports a single (optionally inverted) IRI")
+                f"path '{sym}' supports a single (optionally inverted) IRI")
         raise ValueError(f"unsupported property path {node!r}")
 
     def _pattern_block(self) -> list[tuple[str, str, str]]:
@@ -692,14 +714,42 @@ def _closure_pairs_ids(kg: KG, pid: int | None, seed_id: int | None = None,
     return acc
 
 
-def _join_closure(kg: KG, df: DataFrame | None, s: str, iri: str,
-                  o: str) -> DataFrame:
-    """Join one ``s p+ o`` closure pattern into the accumulated solutions.
+def _nodes_df(kg: KG) -> DataFrame:
+    """The graph's node set (terms in subject or object position) as a
+    one-column ``term`` DataFrame — exactly the dictionary's shared +
+    subjects + objects sections (disjoint by construction, so no distinct),
+    never a triple scan.  This is the domain of zero-length path arms."""
+    d = kg.dict
+    return (d.shared.select("term")
+            .unionAll(d.subjects.select("term"))
+            .unionAll(d.objects.select("term")))
 
-    The closure itself runs on IDs (``_closure_pairs_ids``); the var columns
-    are translated to term strings ONCE here, result-sized, via the same
-    broadcast dictionary joins as the BGP compiler (sparql._translate_vars).
-    """
+
+def _zero_rel(kg: KG, s: str, o: str) -> DataFrame:
+    """Zero-length path arm: reflexive pairs over the node set (W3C
+    ZeroLengthPath — variables range over the graph's nodes; a bound
+    endpoint must be a node)."""
+    from pyspark.sql import functions as F
+
+    nodes = _nodes_df(kg)
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    if s_var and o_var:
+        if s == o:
+            return nodes.select(F.col("term").alias(s[1:]))
+        return nodes.select(F.col("term").alias(s[1:]),
+                            F.col("term").alias(o[1:]))
+    if o_var:
+        return nodes.filter(F.col("term") == s).select(
+            F.col("term").alias(o[1:]))
+    return nodes.filter(F.col("term") == o).select(
+        F.col("term").alias(s[1:]))
+
+
+def _plus_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
+    """The ``p+`` closure relation with >=1 free endpoint, as string-named
+    var columns.  The closure itself runs on IDs (``_closure_pairs_ids``);
+    var columns are translated to term strings ONCE here, result-sized, via
+    the same broadcast dictionary joins as the BGP compiler."""
     from pyspark.sql import functions as F
 
     from . import sparql as bgp_mod
@@ -715,33 +765,92 @@ def _join_closure(kg: KG, df: DataFrame | None, s: str, iri: str,
             ids = (pairs.filter((F.col("a") == F.col("b"))
                                 & (F.col("a") <= kg.dict.n_shared))
                    .select(F.col("a").alias(s[1:])))
-            rel = bgp_mod._translate_vars(kg, ids, {s[1:]: "shared"})
-        else:
-            ids = pairs.select(F.col("a").alias(s[1:]),
-                               F.col("b").alias(o[1:]))
-            rel = bgp_mod._translate_vars(kg, ids, {s[1:]: "s", o[1:]: "o"})
-    elif o_var:   # s bound: BFS forward from s (seed is a subject-space id)
+            return bgp_mod._translate_vars(kg, ids, {s[1:]: "shared"})
+        ids = pairs.select(F.col("a").alias(s[1:]), F.col("b").alias(o[1:]))
+        return bgp_mod._translate_vars(kg, ids, {s[1:]: "s", o[1:]: "o"})
+    if o_var:     # s bound: BFS forward from s (seed is a subject-space id)
         sid, _, _ = _lookup_ids(kg, s, None, None)
         ids = _closure_pairs_ids(kg, pid, seed_id=sid or None,
                                  seed_on_a=True, seeded=True)
-        rel = bgp_mod._translate_vars(
+        return bgp_mod._translate_vars(
             kg, ids.select(F.col("b").alias(o[1:])), {o[1:]: "o"})
-    elif s_var:   # o bound: BFS backward from o (seed is an object-space id)
-        _, _, oid = _lookup_ids(kg, None, None, o)
-        ids = _closure_pairs_ids(kg, pid, seed_id=oid or None,
-                                 seed_on_a=False, seeded=True)
-        rel = bgp_mod._translate_vars(
-            kg, ids.select(F.col("a").alias(s[1:])), {s[1:]: "s"})
-    else:         # both bound: existence test
-        sid, _, oid = _lookup_ids(kg, s, None, o)
-        hit = bool(sid and oid) and (
-            _closure_pairs_ids(kg, pid, seed_id=sid, seed_on_a=True,
-                               seeded=True)
-            .filter(F.col("b") == oid).limit(1).count()) > 0
+    # o bound: BFS backward from o (seed is an object-space id)
+    _, _, oid = _lookup_ids(kg, None, None, o)
+    ids = _closure_pairs_ids(kg, pid, seed_id=oid or None,
+                             seed_on_a=False, seeded=True)
+    return bgp_mod._translate_vars(
+        kg, ids.select(F.col("a").alias(s[1:])), {s[1:]: "s"})
+
+
+def _step_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
+    """Single-step relation (the ``p?`` one-arm) — the ordinary ID-routed
+    pattern query projected to the pattern's var columns."""
+    from pyspark.sql import functions as F
+
+    from .query import triples_with_pattern
+
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    tp = triples_with_pattern(kg, s=None if s_var else s, p=iri,
+                              o=None if o_var else o)
+    if s_var and o_var:
+        if s == o:
+            return (tp.filter(F.col("s") == F.col("o"))
+                    .select(F.col("s").alias(s[1:])))
+        return tp.select(F.col("s").alias(s[1:]), F.col("o").alias(o[1:]))
+    if o_var:
+        return tp.select(F.col("o").alias(o[1:]))
+    return tp.select(F.col("s").alias(s[1:]))
+
+
+def _path_rel(kg: KG, s: str, marker, o: str) -> DataFrame:
+    if isinstance(marker, PlusPath):
+        return _plus_rel(kg, s, marker.iri, o)
+    if isinstance(marker, StarPath):
+        # set semantics (W3C ALP): dedup across the two arms — a node on a
+        # cycle is a reflexive pair in BOTH arms and must appear once
+        return (_plus_rel(kg, s, marker.iri, o)
+                .unionByName(_zero_rel(kg, s, o)).distinct())
+    assert isinstance(marker, OptPath), marker
+    return (_step_rel(kg, s, marker.iri, o)
+            .unionByName(_zero_rel(kg, s, o)).distinct())
+
+
+def _node_exists(kg: KG, term: str) -> bool:
+    from pyspark.sql import functions as F
+
+    return _nodes_df(kg).filter(F.col("term") == term).limit(1).count() > 0
+
+
+def _path_hit(kg: KG, s: str, marker, o: str) -> bool:
+    """Both endpoints bound: existence test."""
+    from pyspark.sql import functions as F
+
+    from .query import _lookup_ids, triples_with_pattern
+
+    if isinstance(marker, (StarPath, OptPath)) and s == o:
+        if _node_exists(kg, s):
+            return True
+    if isinstance(marker, OptPath):
+        return (triples_with_pattern(kg, s=s, p=marker.iri, o=o)
+                .limit(1).count()) > 0
+    sid, _, oid = _lookup_ids(kg, s, None, o)
+    return bool(sid and oid) and (
+        _closure_pairs_ids(kg, _pred_id(kg, marker.iri), seed_id=sid,
+                           seed_on_a=True, seeded=True)
+        .filter(F.col("b") == oid).limit(1).count()) > 0
+
+
+def _join_path(kg: KG, df: DataFrame | None, s: str, marker,
+               o: str) -> DataFrame:
+    """Join one symbolic path pattern (``p+``/``p*``/``p?``) into the
+    accumulated solutions."""
+    if not s.startswith("?") and not o.startswith("?"):
+        hit = _path_hit(kg, s, marker, o)
         if df is None:
             one = kg.spo.sparkSession.range(1).drop("id")
             return one if hit else one.limit(0)
         return df if hit else df.limit(0)
+    rel = _path_rel(kg, s, marker, o)
     if df is None:
         return rel
     common = [c for c in df.columns if c in rel.columns]
@@ -761,11 +870,12 @@ def _eval_group(kg: KG, g: Group, hidden: frozenset = frozenset()) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark = kg.spo.sparkSession
-    plain = [t for t in g.patterns if not isinstance(t[1], PlusPath)]
-    closures = [t for t in g.patterns if isinstance(t[1], PlusPath)]
+    _sym = (PlusPath, StarPath, OptPath)
+    plain = [t for t in g.patterns if not isinstance(t[1], _sym)]
+    closures = [t for t in g.patterns if isinstance(t[1], _sym)]
     df = bgp_mod.bgp(kg, plain) if plain else None
     for s, pp, o in closures:
-        df = _join_closure(kg, df, s, pp.iri, o)
+        df = _join_path(kg, df, s, pp, o)
     for vars_, rows in g.values:
         schema = ", ".join(f"`{v}` string" for v in vars_)
         vdf = spark.createDataFrame(rows, schema)

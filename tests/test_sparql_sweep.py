@@ -34,6 +34,23 @@ def _typed(o):
     return o.pattern(None, T, ENT)
 
 
+def _prev_pairs(o):
+    """Transitive closure of the prev-chain edges."""
+    edges = {s: oo for s, _, oo in o.pattern(None, rules.P_PREV, None)}
+    pairs = set()
+    for start in edges:
+        cur = start
+        while cur in edges:
+            cur = edges[cur]
+            pairs.add((start, cur))
+    return pairs
+
+
+def _nodes(o):
+    """The graph's node set (terms in subject or object position)."""
+    return {t for s, _, oo in o.spo_str() for t in (s, oo)}
+
+
 # (id, query, expected) — expected is None (execute + count, no error) or a
 # callable(oracle) -> expected set of row tuples in column-name-sorted order.
 SWEEP = [
@@ -223,6 +240,24 @@ SWEEP = [
     ("path_paren_combo",
      f"SELECT ?c ?x {{ ?c <{rules.P_HASTURN}>/(<{ROLE}>|<{TOOL}>) ?x }}",
      None),
+    # zero-or-more / zero-or-one (set semantics: closure/step ∪ reflexive
+    # pairs over the node set, duplicate-free)
+    ("path_star", f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>* ?b }}",
+     lambda o: _prev_pairs(o) | {(n, n) for n in _nodes(o)}),
+    ("path_opt", f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>? ?b }}",
+     lambda o: ({(s, oo) for s, _, oo in o.pattern(None, rules.P_PREV, None)}
+                | {(n, n) for n in _nodes(o)})),
+    ("path_opt_inv", f"SELECT ?a ?b {{ ?a ^<{rules.P_PREV}>? ?b }}",
+     lambda o: ({(oo, s) for s, _, oo in o.pattern(None, rules.P_PREV, None)}
+                | {(n, n) for n in _nodes(o)})),
+    ("path_star_nonnode_ask",
+     f"ASK {{ <{BASE}/nope-node> <{rules.P_PREV}>* <{BASE}/nope-node> }}",
+     lambda o: {(False,)}),
+    ("path_star_reflexive_ask",
+     f"ASK {{ <{SPARK_E}> <{rules.P_PREV}>* <{SPARK_E}> }}",
+     lambda o: {(True,)}),
+    ("path_star_paren", f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>)* ?b }}",
+     lambda o: _prev_pairs(o) | {(n, n) for n in _nodes(o)}),
     # --- whitespace / syntax robustness ----------------------------------
     ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}", None),
     ("trailing_dots", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> . }}", None),
