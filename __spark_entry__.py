@@ -403,6 +403,39 @@ def _q_path_opt(spark, sf_dir):
                         f"SELECT ?a ?b {{ ?a <{P_PREVDOC}>? ?b }}")
 
 
+P_DOCNUM = f"{rules.BASE}/p/docNum"
+
+
+def _num_kg(spark, sf_dir):
+    """A KG of (doc, docNum, "<id>"^^xsd:integer) triples: varied numeric
+    typed literals (the documents-derived transcripts are single-turn, so
+    the main KG's only integers are all "0")."""
+    key = ("num", id(spark), sf_dir)
+    if key not in _kg_cache:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tri = docs.select(
+            F.concat(F.lit(f"{rules.BASE}/d/"),
+                     F.col("doc_id").cast("string")).alias("s"),
+            F.lit(P_DOCNUM).alias("p"),
+            F.concat(F.lit('"'), F.col("doc_id").cast("string"),
+                     F.lit(f'"^^<{rules.XSD_INTEGER}>')).alias("o"),
+        )
+        _kg_cache[key] = pipeline.build_kg_from_triples(
+            tri, with_adjacency=False)
+    return _kg_cache[key]
+
+
+def _q_sparql_numeric(spark, sf_dir):
+    """§2.5: typed-literal numeric semantics — FILTER and ORDER BY compare
+    xsd:integer literals by VALUE (string order diverges above id 9: "12"
+    sorts before "5" lexically), checked against DuckDB's native numeric
+    compare.  LIMIT makes the ordering observable in the row SET."""
+    from hdtspark import sparql
+    return sparql.query(_num_kg(spark, sf_dir), (
+        f"SELECT ?d ?n {{ ?d <{P_DOCNUM}> ?n FILTER (?n > 5) }} "
+        "ORDER BY ?n LIMIT 7"))
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -466,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_plus": _q_path_plus,
         "kg_path_star": _q_path_star,
         "kg_path_opt": _q_path_opt,
+        "kg_sparql_numeric": _q_sparql_numeric,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
@@ -630,6 +664,11 @@ WITH edges AS (
   SELECT a AS n FROM edges UNION SELECT b FROM edges
 )
 SELECT a, b FROM edges UNION SELECT n, n FROM nodes
+""",
+        "kg_sparql_numeric": f"""
+SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS d,
+       '"' || CAST(doc_id AS VARCHAR) || '"^^<{rules.XSD_INTEGER}>' AS n
+FROM documents WHERE doc_id > 5 ORDER BY doc_id LIMIT 7
 """,
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),

@@ -54,7 +54,7 @@ _TOKEN = re.compile(
   | (?P<lparen> \( ) | (?P<rparen> \) )
   | (?P<dot> \. )
   | (?P<word> [A-Za-z_][\w\-]*(:[\w\-]*)? )
-  | (?P<num>  \d+ )
+  | (?P<num>  \d+\.\d+ | \d+ )
   | (?P<other> [^\s] )
     """,
     re.VERBOSE,
@@ -163,6 +163,45 @@ _SPARQL_FN = {
     "STRLEN": "length",
 }
 
+# XSD numeric datatypes whose typed literals get VALUE comparison semantics
+# in FILTER / ORDER BY (the XSD numeric promotion set)
+_XSD_NUMERIC = {
+    "integer", "decimal", "double", "float", "long", "int", "short", "byte",
+    "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+    "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte",
+}
+
+_NUM_LIT_RE = re.compile(
+    r'^["\'](.*)["\']\^\^<http://www\.w3\.org/2001/XMLSchema#([A-Za-z]+)>$')
+_NUM_LEX_RE = re.compile(r"^[+-]?(\d+(\.\d+)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _numeric_lit_value(raw: str) -> str | None:
+    """The plain numeric value of an xsd-numeric typed literal token,
+    or None if the token isn't one (wrong datatype / malformed lexical)."""
+    m = _NUM_LIT_RE.match(raw)
+    if not m:
+        return None
+    lex, dtype = m.groups()
+    if dtype in _XSD_NUMERIC and _NUM_LEX_RE.match(lex):
+        return lex
+    return None
+
+
+def _num_sql(c: str) -> str:
+    """Spark SQL: the numeric value of canonical term column/expr ``c`` as
+    DOUBLE, NULL for any term that is not an xsd-numeric typed literal.
+    String ops only (no regex escaping pitfalls): the datatype suffix after
+    the last '^^<' is matched against the closed numeric-type list and the
+    lexical form is everything between the leading quote and the next."""
+    types = ", ".join(f"'http://www.w3.org/2001/XMLSchema#{t}>'"
+                      for t in sorted(_XSD_NUMERIC))
+    return (f"(CASE WHEN substr({c}, 1, 1) = '\"' "
+            f"AND substring_index({c}, '^^<', -1) IN ({types}) "
+            f"THEN try_cast(substring_index(substr({c}, 2), '\"', 1)"
+            f" AS DOUBLE) END)")
+
 
 class _Parser:
     def __init__(self, q: str):
@@ -224,6 +263,11 @@ class _Parser:
             return self.prefixes[pfx] + local
         if kind == "word" and v == "a":
             return RDF_TYPE
+        if kind == "num":
+            # SPARQL numeric-literal shorthand: 5 = "5"^^xsd:integer,
+            # 5.5 = "5.5"^^xsd:decimal
+            dt = "decimal" if "." in v else "integer"
+            return f'"{v}"^^<http://www.w3.org/2001/XMLSchema#{dt}>'
         raise ValueError(f"unexpected term {v!r}")
 
     # -- grammar ------------------------------------------------------------
@@ -357,9 +401,22 @@ class _Parser:
         token bodies are never rewritten, so a constant like
         ``"hello!"`` or ``"a && b"`` survives verbatim (string replacement
         over the joined SQL mangled exactly these).
+
+        NUMERIC comparisons (VERDICT r4 next #3): a direct comparison of a
+        ?var against a numeric constant — a bare number or an xsd numeric
+        typed literal — applies XSD numeric semantics, not term-string
+        order: the var side becomes ``try_cast`` of the typed literal's
+        lexical form (NULL for non-numeric terms, so those rows drop out of
+        FILTER, per SPARQL's type-error semantics) and the constant side its
+        plain numeric value.  Everything else keeps canonical-term-string
+        comparison (IRIs, plain literals — the reference delegates the full
+        operator table to spareval the same way, src/sparql.rs:45-83).
         """
         assert self.next()[0] == "lparen"
-        depth, parts = 1, []
+        depth = 1
+        # (kind, sql, alt): kind tags the rewrite pass; alt carries a
+        # numeric typed literal's plain value
+        parts: list[tuple[str, str, str | None]] = []
         var = None
         while depth > 0:
             k, v = self.next()
@@ -367,42 +424,60 @@ class _Parser:
                 raise ValueError("unbalanced ( in expression")
             if k == "lparen":
                 depth += 1
-                parts.append("(")
+                parts.append(("tok", "(", None))
             elif k == "rparen":
                 depth -= 1
                 if depth > 0:
-                    parts.append(")")
+                    parts.append(("tok", ")", None))
             elif allow_as and k in ("word", "pname") and v.upper() == "AS" and depth == 1:
                 kv, vv = self.next()
                 assert kv == "var", "AS needs ?var"
                 var = vv[1:]
             elif k == "var":
-                parts.append(f"`{v[1:]}`")
+                parts.append(("var", f"`{v[1:]}`", None))
+            elif k == "num":
+                parts.append(("num", v, v))
             elif k == "lit":
+                numval = _numeric_lit_value(v)
                 if v.startswith('"'):  # Spark SQL string literals are '-quoted
                     body_end = v.rfind('"')
                     body = v[1:body_end].replace("'", "\\'")
                     v = f"'{body}'" + v[body_end + 1:]
-                parts.append(v)
+                parts.append(("num" if numval is not None else "tok",
+                              v, numval))
             elif k == "word" and v.upper() in _SPARQL_FN:
-                parts.append(_SPARQL_FN[v.upper()])
+                parts.append(("tok", _SPARQL_FN[v.upper()], None))
             elif k == "dot":
-                parts.append(".")
+                parts.append(("tok", ".", None))
             elif k == "other":
                 nk, nv = self.peek()
                 if v in ("&", "|") and (nk, nv) == ("other", v):
                     self.next()
-                    parts.append("AND" if v == "&" else "OR")
+                    parts.append(("tok", "AND" if v == "&" else "OR", None))
                 elif v in ("!", "<", ">") and (nk, nv) == ("other", "="):
                     self.next()
-                    parts.append(v + "=")
+                    parts.append(("cmp", v + "=", None))
                 elif v == "!":
-                    parts.append("NOT")
+                    parts.append(("tok", "NOT", None))
+                elif v in ("<", ">", "="):
+                    parts.append(("cmp", v, None))
                 else:
-                    parts.append(v)
+                    parts.append(("tok", v, None))
             else:
-                parts.append(v)
-        return " ".join(parts), var
+                parts.append(("tok", v, None))
+        # rewrite pass: var CMP numeric-constant (either side) -> numeric
+        out = [sql for _, sql, _ in parts]
+        for i, (k, _, _) in enumerate(parts):
+            if k != "cmp" or not 0 < i < len(parts) - 1:
+                continue
+            (lk, lsql, _), (rk, _, ralt) = parts[i - 1], parts[i + 1]
+            if lk == "var" and rk == "num":
+                out[i - 1] = _num_sql(lsql)
+                out[i + 1] = ralt
+            elif lk == "num" and rk == "var":
+                out[i - 1] = parts[i - 1][2]
+                out[i + 1] = _num_sql(parts[i + 1][1])
+        return " ".join(out), var
 
     def _group(self) -> list[Group]:
         """-> list of UNION arms, each a full (possibly nested) Group.
@@ -1020,8 +1095,17 @@ def query_df(kg: KG, q: str) -> DataFrame:
         # SPARQL HAVING = SQL HAVING (post-aggregation filter)
         sql += " HAVING " + " AND ".join(f"({h})" for h in ast.having)
     if ast.order_by:
-        sql += " ORDER BY " + ", ".join(
-            f"`{v}`{' DESC' if d else ''}" for v, d in ast.order_by)
+        # xsd-numeric typed literals sort by VALUE; everything else falls
+        # back to canonical-term-string order after them ("12"^^xsd:integer
+        # no longer sorts before "5"^^xsd:integer).  DESC reverses the
+        # whole key.  (Mixed-type columns use this numeric-first engine
+        # order, not the full SPARQL total order over all term kinds.)
+        def key(v: str, desc: bool) -> str:
+            c, n = f"`{v}`", _num_sql(f"`{v}`")
+            d = " DESC" if desc else ""
+            return f"({n} IS NULL){d}, {n}{d}, {c}{d}"
+
+        sql += " ORDER BY " + ", ".join(key(v, d) for v, d in ast.order_by)
     if ast.limit is not None:
         sql += f" LIMIT {ast.limit}"
     if ast.offset is not None:

@@ -51,6 +51,12 @@ def _nodes(o):
     return {t for s, _, oo in o.spo_str() for t in (s, oo)}
 
 
+def _idx(o):
+    """(turn, canonical literal, int value) of every P_INDEX triple."""
+    return [(s, oo, int(oo.split('"')[1]))
+            for s, _, oo in o.pattern(None, rules.P_INDEX, None)]
+
+
 # (id, query, expected) — expected is None (execute + count, no error) or a
 # callable(oracle) -> expected set of row tuples in column-name-sorted order.
 SWEEP = [
@@ -258,6 +264,32 @@ SWEEP = [
      lambda o: {(True,)}),
     ("path_star_paren", f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>)* ?b }}",
      lambda o: _prev_pairs(o) | {(n, n) for n in _nodes(o)}),
+    # --- typed-literal numeric semantics (FILTER / ORDER BY by VALUE) -----
+    ("f_numeric_gt",
+     f"SELECT ?t ?n {{ ?t <{rules.P_INDEX}> ?n FILTER (?n > 3) }}",
+     lambda o: {(lit, s) for s, lit, v in _idx(o) if v > 3}),
+    ("f_numeric_reversed",
+     f"SELECT ?t {{ ?t <{rules.P_INDEX}> ?n FILTER (3 < ?n) }}",
+     lambda o: {(s,) for s, _, v in _idx(o) if v > 3}),
+    ("f_numeric_typed_const",
+     f'SELECT ?t {{ ?t <{rules.P_INDEX}> ?n '
+     f'FILTER (?n = "2"^^<{rules.XSD_INTEGER}>) }}',
+     lambda o: {(s,) for s, _, v in _idx(o) if v == 2}),
+    ("f_numeric_decimal",
+     f"SELECT ?t {{ ?t <{rules.P_INDEX}> ?n FILTER (?n <= 2.5) }}",
+     lambda o: {(s,) for s, _, v in _idx(o) if v <= 2.5}),
+    ("f_numeric_non_numeric_drops",
+     f"SELECT ?t {{ ?t <{ROLE}> ?r FILTER (?r > 0) }}",
+     lambda o: set()),
+    ("order_numeric_desc",
+     f"SELECT DISTINCT ?n {{ ?t <{rules.P_INDEX}> ?n }} "
+     f"ORDER BY DESC(?n) LIMIT 3",
+     lambda o: {(lit,) for lit, v in
+                sorted({(lit, v) for _, lit, v in _idx(o)},
+                       key=lambda x: -x[1])[:3]}),
+    ("num_shorthand_object",
+     f"SELECT ?t {{ ?t <{rules.P_INDEX}> 0 }}",
+     lambda o: {(s,) for s, _, v in _idx(o) if v == 0}),
     # --- whitespace / syntax robustness ----------------------------------
     ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}", None),
     ("trailing_dots", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> . }}", None),
