@@ -325,6 +325,36 @@ def _q_sparql_minus(spark, sf_dir):
         f"MINUS {{ ?turn <{rules.P_MENTIONS}> <{ENT_SPARK}> }} }}"))
 
 
+def _q_sparql_exists(spark, sf_dir):
+    """§2.5: FILTER EXISTS — left-semi join on the shared variable."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?turn ?ent { "
+        f"?turn <{rules.P_MENTIONS}> ?ent "
+        f"FILTER EXISTS {{ ?turn <{rules.P_MENTIONS}> <{ENT_SPARK}> }} }}"))
+
+
+def _q_sparql_not_exists(spark, sf_dir):
+    """§2.5: FILTER NOT EXISTS — left-anti join on the shared variable
+    (agrees with MINUS here; the no-shared-var divergence is exact-checked
+    in the conformance sweep)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?turn ?ent { "
+        f"?turn <{rules.P_MENTIONS}> ?ent "
+        f"FILTER NOT EXISTS {{ ?turn <{rules.P_MENTIONS}> <{ENT_SPARK}> }} }}"))
+
+
+def _q_sparql_subquery(spark, sf_dir):
+    """§2.5: nested SELECT — aggregate subquery joined into the outer
+    group, its ?n visible to the outer FILTER (numeric, computed column)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?ent ?n { "
+        f"{{ SELECT ?ent (COUNT(*) AS ?n) {{ ?turn <{rules.P_MENTIONS}> ?ent }} "
+        "GROUP BY ?ent } FILTER (?n >= 5) }"))
+
+
 def _q_construct(spark, sf_dir):
     """§2.5: CONSTRUCT — template instantiation over the WHERE solutions,
     returned as a distinct (s, p, o) triples DataFrame."""
@@ -492,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_values": _q_sparql_values,
         "kg_sparql_minus": _q_sparql_minus,
+        "kg_sparql_exists": _q_sparql_exists,
+        "kg_sparql_not_exists": _q_sparql_not_exists,
+        "kg_sparql_subquery": _q_sparql_subquery,
         "kg_construct": _q_construct,
         "kg_describe": _q_describe,
         "kg_path_seq": _q_path_seq,
@@ -609,6 +642,23 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE p = '{rules.P_MENTIONS}' AND s NOT IN ("
             f"SELECT s FROM tri WHERE p = '{rules.P_MENTIONS}' "
             f"AND o = '{ENT_SPARK}')"
+        ),
+        "kg_sparql_exists": k(
+            f"SELECT s AS turn, o AS ent FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' AND s IN ("
+            f"SELECT s FROM tri WHERE p = '{rules.P_MENTIONS}' "
+            f"AND o = '{ENT_SPARK}')"
+        ),
+        "kg_sparql_not_exists": k(
+            f"SELECT s AS turn, o AS ent FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' AND s NOT IN ("
+            f"SELECT s FROM tri WHERE p = '{rules.P_MENTIONS}' "
+            f"AND o = '{ENT_SPARK}')"
+        ),
+        "kg_sparql_subquery": k(
+            f"SELECT o AS ent, COUNT(*) AS n FROM tri "
+            f"WHERE p = '{rules.P_MENTIONS}' GROUP BY o "
+            f"HAVING COUNT(*) >= 5"
         ),
         "kg_construct": k(
             f"SELECT DISTINCT o AS s, '{P_MENTIONED_BY}' AS p, s AS o "

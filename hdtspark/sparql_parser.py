@@ -116,6 +116,11 @@ class Group:
     values: list[tuple[list[str], list[tuple]]] = field(default_factory=list)
     optionals: list[list["Group"]] = field(default_factory=list)
     minuses: list[list["Group"]] = field(default_factory=list)
+    # FILTER (NOT) EXISTS bodies: (positive?, UNION arms)
+    exists_filters: list[tuple[bool, list["Group"]]] = field(
+        default_factory=list)
+    # nested { SELECT ... } subqueries, joined in as solution relations
+    subqueries: list["Query"] = field(default_factory=list)
 
 
 @dataclass
@@ -190,17 +195,24 @@ def _numeric_lit_value(raw: str) -> str | None:
 
 
 def _num_sql(c: str) -> str:
-    """Spark SQL: the numeric value of canonical term column/expr ``c`` as
-    DOUBLE, NULL for any term that is not an xsd-numeric typed literal.
+    """Spark SQL: the numeric value of column/expr ``c`` as DOUBLE.
+
+    Polymorphic over the two kinds of solution column: a canonical TERM
+    string yields its typed-literal lexical value iff the datatype is
+    xsd-numeric (NULL otherwise — IRIs and plain literals are not numbers);
+    a COMPUTED column (BIND arithmetic, subquery COUNT/SUM — genuinely
+    numeric or a bare numeral string) falls through to a direct try_cast.
     String ops only (no regex escaping pitfalls): the datatype suffix after
     the last '^^<' is matched against the closed numeric-type list and the
     lexical form is everything between the leading quote and the next."""
     types = ", ".join(f"'http://www.w3.org/2001/XMLSchema#{t}>'"
                       for t in sorted(_XSD_NUMERIC))
-    return (f"(CASE WHEN substr({c}, 1, 1) = '\"' "
-            f"AND substring_index({c}, '^^<', -1) IN ({types}) "
-            f"THEN try_cast(substring_index(substr({c}, 2), '\"', 1)"
-            f" AS DOUBLE) END)")
+    s = f"cast({c} as string)"
+    return (f"(CASE WHEN substr({s}, 1, 1) = '\"' "
+            f"THEN (CASE WHEN substring_index({s}, '^^<', -1) IN ({types}) "
+            f"THEN try_cast(substring_index(substr({s}, 2), '\"', 1)"
+            f" AS DOUBLE) END) "
+            f"ELSE try_cast({c} AS DOUBLE) END)")
 
 
 class _Parser:
@@ -233,6 +245,12 @@ class _Parser:
         k, v = self.next()
         if v.upper() != word:
             raise ValueError(f"expected {word}, got {v!r}")
+
+    def _at_subquery(self, off: int) -> bool:
+        """Is the token at lookahead ``off`` the SELECT of a sub-query?"""
+        j = self.i + off
+        return (j < len(self.toks) and self.toks[j][0] in ("word", "pname")
+                and self.toks[j][1].upper() == "SELECT")
 
     def at_word(self, word: str) -> bool:
         k, v = self.peek()
@@ -324,7 +342,32 @@ class _Parser:
         q = Query(select=select, arms=arms, distinct=distinct, form=form,
                   template=template,
                   hidden_vars=frozenset(self.fresh_vars))
-        while self.peek()[0] != "eof":
+        self._modifiers(q)
+        if self.peek()[0] != "eof":
+            raise ValueError(f"unexpected trailing token {self.peek()[1]!r}")
+        return q
+
+    def _parse_select_body(self) -> Query:
+        """A sub-SELECT (positioned AT the SELECT keyword), parsed through
+        its own solution modifiers; the caller consumes the closing brace."""
+        self.expect_word("SELECT")
+        distinct = False
+        if self.at_word("DISTINCT"):
+            self.next()
+            distinct = True
+        select = self._select_list()
+        if self.at_word("WHERE"):
+            self.next()
+        arms = self._group()
+        q = Query(select=select, arms=arms, distinct=distinct,
+                  hidden_vars=frozenset(self.fresh_vars))
+        self._modifiers(q)
+        return q
+
+    def _modifiers(self, q: Query) -> None:
+        """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET tail — shared by
+        the top-level query and sub-SELECTs (which stop at their brace)."""
+        while True:
             if self.at_word("GROUP"):
                 self.next()
                 self.expect_word("BY")
@@ -361,8 +404,9 @@ class _Parser:
                 self.next()
                 q.offset = int(self.next()[1])
             else:
-                raise ValueError(f"unexpected trailing token {self.peek()[1]!r}")
-        return q
+                # top level: parse() raises unless at eof; subquery: the
+                # caller validates the closing brace
+                break
 
     def _select_list(self) -> list[tuple[str, str | None]]:
         out: list[tuple[str, str | None]] = []
@@ -487,7 +531,8 @@ class _Parser:
         evaluator only ever sees plain triple patterns plus symbolic
         ``PlusPath`` markers."""
         assert self.next()[0] == "lbrace", "expected {"
-        if self.peek()[0] == "lbrace":  # { group } UNION { group } ...
+        if self.peek()[0] == "lbrace" and not self._at_subquery(1):
+            # { group } UNION { group } ...
             arms = self._group()
             while self.at_word("UNION"):
                 self.next()
@@ -499,8 +544,25 @@ class _Parser:
         while self.peek()[0] != "rbrace":
             if self.at_word("FILTER"):
                 self.next()
-                sql, _ = self._read_paren_sql()
-                g.filters.append(sql)
+                if self.at_word("EXISTS"):
+                    self.next()
+                    g.exists_filters.append((True, self._group()))
+                elif self.at_word("NOT"):
+                    self.next()
+                    self.expect_word("EXISTS")
+                    g.exists_filters.append((False, self._group()))
+                else:
+                    sql, _ = self._read_paren_sql()
+                    g.filters.append(sql)
+            elif self.peek()[0] == "lbrace":
+                if not self._at_subquery(1):
+                    raise ValueError(
+                        "a nested { } inside a group must be a subquery "
+                        "({ SELECT ... }); plain nested groups are "
+                        "supported as UNION arms / OPTIONAL / MINUS bodies")
+                self.next()
+                g.subqueries.append(self._parse_select_body())
+                assert self.next()[0] == "rbrace", "subquery needs }"
             elif self.at_word("OPTIONAL"):
                 self.next()
                 g.optionals.append(self._group())
@@ -932,6 +994,12 @@ def _join_path(kg: KG, df: DataFrame | None, s: str, marker,
     return df.join(rel, on=common, how="inner") if common else df.crossJoin(rel)
 
 
+def _solutions_df(kg: KG, ast: "Query") -> DataFrame:
+    """Evaluate a SELECT-form Query to its solutions DataFrame — the
+    recursive entry used for sub-SELECTs."""
+    return _apply_modifiers(_eval_arms(kg, ast.arms, ast.hidden_vars), ast)
+
+
 def _eval_group(kg: KG, g: Group, hidden: frozenset = frozenset()) -> DataFrame:
     """Evaluate one group graph pattern to a solutions DataFrame.
 
@@ -951,6 +1019,17 @@ def _eval_group(kg: KG, g: Group, hidden: frozenset = frozenset()) -> DataFrame:
     df = bgp_mod.bgp(kg, plain) if plain else None
     for s, pp, o in closures:
         df = _join_path(kg, df, s, pp, o)
+    for subq in g.subqueries:
+        # a subquery is just another solution relation: evaluate it
+        # bottom-up (its own projection/aggregation/modifiers) and join on
+        # the shared variables
+        sdf = _solutions_df(kg, subq)
+        if df is None:
+            df = sdf
+        else:
+            common = [c for c in df.columns if c in sdf.columns]
+            df = (df.join(sdf, on=common, how="inner") if common
+                  else df.crossJoin(sdf))
     for vars_, rows in g.values:
         schema = ", ".join(f"`{v}` string" for v in vars_)
         vdf = spark.createDataFrame(rows, schema)
@@ -991,6 +1070,19 @@ def _eval_group(kg: KG, g: Group, hidden: frozenset = frozenset()) -> DataFrame:
                          how="left_anti")
     for fsql in g.filters:
         df = df.where(F.expr(fsql))
+    for positive, arms in g.exists_filters:
+        # EXISTS = left-semi, NOT EXISTS = left-anti on the shared vars.
+        # Distinct from MINUS exactly when NO vars are shared: MINUS removes
+        # nothing, (NOT) EXISTS degenerates to a global emptiness test.
+        edf = _eval_arms(kg, arms, hidden)
+        common = [c for c in df.columns if c in edf.columns]
+        if common:
+            df = df.join(edf.select(*common).distinct(), on=common,
+                         how="left_semi" if positive else "left_anti")
+        else:
+            hit = not edf.isEmpty()
+            if positive != hit:
+                df = df.limit(0)
     # fresh join variables from path desugaring are internal: project away
     # exactly the tracked names (never user variables — ADVICE r4)
     drop = [c for c in df.columns if c in hidden]
@@ -1078,9 +1170,21 @@ def query_df(kg: KG, q: str) -> DataFrame:
         # boolean result as a 1-row DataFrame (true iff any solution)
         return df.limit(1).groupBy().agg(
             (F.count("*") > 0).alias("ask"))
+    return _apply_modifiers(df, ast)
+
+
+_view_seq = 0
+
+
+def _apply_modifiers(df: DataFrame, ast: Query) -> DataFrame:
+    """Projection / DISTINCT / GROUP BY / HAVING / ORDER BY / LIMIT /
+    OFFSET over a solutions DataFrame, delegated to Catalyst through a
+    temp view (unique per call — subqueries nest)."""
+    global _view_seq
 
     spark = df.sparkSession
-    view = "hdt_sparql_tmp"
+    _view_seq += 1
+    view = f"hdt_sparql_tmp_{_view_seq}"
     df.createOrReplaceTempView(view)
     if ast.select == [("*", None)]:
         proj = "*"

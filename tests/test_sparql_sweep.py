@@ -186,6 +186,45 @@ SWEEP = [
      lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
     ("minus_with_filter", f"SELECT ?t ?e {{ ?t <{M}> ?e "
      f'MINUS {{ ?t <{M}> ?x FILTER (CONTAINS(?x, "spark")) }} }}', None),
+    # --- FILTER (NOT) EXISTS / subqueries --------------------------------
+    ("exists_shared",
+     f"SELECT ?t ?e {{ ?t <{M}> ?e "
+     f"FILTER EXISTS {{ ?t <{M}> <{SPARK_E}> }} }}",
+     lambda o: {(e, t) for t, _, e in _mentions(o)
+                if t in {s for s, _, oo in _mentions(o) if oo == SPARK_E}}),
+    ("not_exists_shared",
+     f"SELECT ?t ?e {{ ?t <{M}> ?e "
+     f"FILTER NOT EXISTS {{ ?t <{M}> <{SPARK_E}> }} }}",
+     lambda o: {(e, t) for t, _, e in _mentions(o)
+                if t not in {s for s, _, oo in _mentions(o)
+                             if oo == SPARK_E}}),
+    # THE MINUS-vs-NOT-EXISTS divergence: with NO shared variables MINUS
+    # removes nothing (set-compatibility) while NOT EXISTS is a global
+    # emptiness test that removes everything when the inner matches
+    ("not_exists_unshared_removes_all",
+     f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> "
+     f"FILTER NOT EXISTS {{ ?z <{ROLE}> \"user\" }} }}",
+     lambda o: set()),
+    ("exists_unshared_keeps_all",
+     f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> "
+     f"FILTER EXISTS {{ ?z <{ROLE}> \"user\" }} }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("exists_filter_inside",
+     f"SELECT ?t {{ ?t <{M}> ?e FILTER EXISTS {{ ?t <{M}> ?x "
+     f'FILTER (CONTAINS(?x, "spark")) }} }}', None),
+    ("subquery_agg_join",
+     f"SELECT ?e ?n {{ {{ SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} "
+     f"GROUP BY ?e }} FILTER (?n >= 3) }}",
+     lambda o: {(e, n) for e, n in
+                __import__("collections").Counter(
+                    oo for _, _, oo in _mentions(o)).items() if n >= 3}),
+    ("subquery_joined_with_outer",
+     f"SELECT ?t ?e {{ ?t <{M}> ?e . {{ SELECT ?e {{ ?e a <{ENT}> }} }} }}",
+     lambda o: {(e, t) for t, _, e in _mentions(o)}),
+    ("subquery_with_limit", f"SELECT ?e {{ {{ SELECT DISTINCT ?e "
+     f"{{ ?t <{M}> ?e }} ORDER BY ?e LIMIT 2 }} }}",
+     lambda o: {(e,) for e in
+                sorted({oo for _, _, oo in _mentions(o)})[:2]}),
     # --- solution modifiers ----------------------------------------------
     ("distinct", f"SELECT DISTINCT ?e {{ ?t <{M}> ?e }}",
      lambda o: {(oo,) for _, _, oo in _mentions(o)}),
