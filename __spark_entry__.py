@@ -118,6 +118,15 @@ def _embeddings(spark, sf_dir):
 ANN_QUERY_IDS = [0, 1, 2]
 
 
+def _toy_lsh() -> tuple[int, int]:
+    """(bands, bits) of the fast-oracle toy LSH setting."""
+    from hdtspark import simsearch
+    return simsearch.LSH_BANDS_TOY, simsearch.LSH_BITS_TOY
+
+
+_TOY_LSH = _toy_lsh()
+
+
 def dedup_defaults() -> tuple[int, int]:
     """(NUM_HASHES, BANDS) production LSH defaults from hdtspark.dedup."""
     from hdtspark import dedup
@@ -182,8 +191,20 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_bucketed(spark, sf_dir):
+    """Toy LSH setting (2 bands x 8 bits) — the fast oracle check."""
     from hdtspark import simsearch
-    return simsearch.bucketed_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=5)
+    return simsearch.bucketed_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS,
+                                   k=5, bands=simsearch.LSH_BANDS_TOY,
+                                   bits=simsearch.LSH_BITS_TOY)
+
+
+def _q_ann_bucketed_prod(spark, sf_dir):
+    """Production LSH setting (4 bands x 16 bits, simsearch.LSH_BANDS):
+    same pipeline, scale-ready bucket widths — checked against the
+    parameterized DuckDB oracle at the same setting."""
+    from hdtspark import simsearch
+    return simsearch.bucketed_topk(_embeddings(spark, sf_dir), ANN_QUERY_IDS,
+                                   k=5)
 
 
 def _q_kg_lists(spark, sf_dir):
@@ -195,14 +216,29 @@ def _q_kg_lists(spark, sf_dir):
     )
 
 
-def _q_dd_embedding(spark, sf_dir):
-    """Embedding near-dup over the corpus + injected duplicate vectors
-    (the driver embeddings are near-random: max natural cosine ~0.5)."""
-    from hdtspark import dedup
+def _dd_emb(spark, sf_dir):
+    """Dedup embedding corpus: + injected duplicate vectors (the driver
+    embeddings are near-random: max natural cosine ~0.5)."""
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-    return dedup.embedding_near_duplicates(emb.unionAll(dups), threshold=0.99)
+    return emb.unionAll(dups)
+
+
+def _q_dd_embedding(spark, sf_dir):
+    """Toy LSH setting (2 bands x 8 bits) — the fast oracle check."""
+    from hdtspark import dedup, simsearch
+    return dedup.embedding_near_duplicates(
+        _dd_emb(spark, sf_dir), threshold=0.99,
+        bands=simsearch.LSH_BANDS_TOY, bits=simsearch.LSH_BITS_TOY)
+
+
+def _q_dd_embedding_prod(spark, sf_dir):
+    """Production LSH setting (4 bands x 16 bits): the scale path whose
+    bucket-local self-join stays bucket-sized at 10^9 docs."""
+    from hdtspark import dedup
+    return dedup.embedding_near_duplicates(_dd_emb(spark, sf_dir),
+                                           threshold=0.99)
 
 
 def _q_ev_windowed(spark, sf_dir):
@@ -540,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": _q_dd_ngram,
         "dd_simhash": _q_dd_simhash,
         "dd_embedding": _q_dd_embedding,
+        "dd_embedding_prod": _q_dd_embedding_prod,
         # Text analysis
         "tx_tokens": _q_tx_tokens,
         "tx_quality": _q_tx_quality,
@@ -548,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Similarity search over embeddings
         "ann_topk": _q_ann_topk,
         "ann_bucketed": _q_ann_bucketed,
+        "ann_bucketed_prod": _q_ann_bucketed_prod,
         # Event-stream analytics (batch form of the streaming aggs)
         "ev_windowed": _q_ev_windowed,
         "ev_top_users": _q_ev_top_users,
@@ -729,9 +767,14 @@ FROM documents WHERE doc_id > 5 ORDER BY doc_id LIMIT 7
             threshold=0.7),
         "dd_ngram_jaccard": oracles.ngram_jaccard_oracle(k=5, threshold=0.5),
         **oracles.textops_oracles(),
-        "dd_embedding": oracles.embedding_dedup_oracle(threshold=0.99),
+        "dd_embedding": oracles.embedding_dedup_oracle(
+            threshold=0.99, bands=_TOY_LSH[0], bits=_TOY_LSH[1]),
+        "dd_embedding_prod": oracles.embedding_dedup_oracle(threshold=0.99),
         "ann_topk": oracles.ann_oracle(ANN_QUERY_IDS, k=10, bucketed=False),
-        "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True),
+        "ann_bucketed": oracles.ann_oracle(ANN_QUERY_IDS, k=5, bucketed=True,
+                                           bands=_TOY_LSH[0], bits=_TOY_LSH[1]),
+        "ann_bucketed_prod": oracles.ann_oracle(ANN_QUERY_IDS, k=5,
+                                                bucketed=True),
         "ev_windowed": """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
        event_type,

@@ -159,19 +159,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.99,
                               id_col: str = "vec_id",
-                              emb_col: str = "embedding") -> DataFrame:
+                              emb_col: str = "embedding",
+                              bands: int | None = None,
+                              bits: int | None = None,
+                              dim: int | None = None) -> DataFrame:
     """(a, b, cosine) — embedding-cosine near-dup pairs, hyperplane-LSH pruned.
 
     Candidates = pairs sharing >=1 banded random-hyperplane signature
-    (simsearch.lsh_band_rows: integer-exact sign bits, 2 bands x 8 bits by
-    default, so unrelated pairs collide on a band with probability ~2^-8
-    instead of the 1/8 a 3-bit bucket gave); exact cosine (JVM
-    aggregate/zip_with, double) verifies candidates only.  (band_idx,
-    band_val) is the equi-join key — bucket-local self-join at scale.
+    (simsearch.lsh_band_rows: integer-exact sign bits; production default
+    4 bands x 16 bits, see simsearch.LSH_BANDS — an unrelated pair collides
+    on a band with probability ~2^-16, so the bucket-local self-join stays
+    bucket-sized at web scale); exact cosine (JVM aggregate/zip_with,
+    double) verifies candidates only.  (band_idx, band_val) is the
+    equi-join key — bucket-local self-join at scale.
     """
+    from . import simsearch
     from .simsearch import _cosine_expr, lsh_band_rows
 
-    band_rows = lsh_band_rows(embeddings, id_col=id_col, emb_col=emb_col)
+    bands = simsearch.LSH_BANDS if bands is None else bands
+    bits = simsearch.LSH_BITS if bits is None else bits
+    dim = simsearch.LSH_DIM if dim is None else dim
+    band_rows = lsh_band_rows(embeddings, id_col=id_col, emb_col=emb_col,
+                              bands=bands, bits=bits, dim=dim)
     left = band_rows.select(F.col(id_col).alias("a"),
                             F.col(emb_col).alias("emb_a"),
                             "band_idx", "band_val")

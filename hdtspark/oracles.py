@@ -284,23 +284,29 @@ def _plane_dot_duck(col: str, w: list[int], quant: int) -> str:
         for i in range(len(w)))
 
 
-def _band_exprs_duck(col: str = "embedding") -> list[str]:
-    """One packed-int expression per LSH band, same planes as simsearch."""
-    from .simsearch import LSH_BANDS, LSH_BITS, LSH_DIM, LSH_QUANT, hyperplanes
+def _band_exprs_duck(col: str = "embedding", bands: int | None = None,
+                     bits: int | None = None) -> list[str]:
+    """One packed-int expression per LSH band, same planes as simsearch.
+    ``bands``/``bits`` default to the simsearch production parameters."""
+    from . import simsearch
+    from .simsearch import LSH_DIM, LSH_QUANT, hyperplanes
 
-    planes = hyperplanes(LSH_BANDS * LSH_BITS, LSH_DIM)
+    bands = simsearch.LSH_BANDS if bands is None else bands
+    bits = simsearch.LSH_BITS if bits is None else bits
+    planes = hyperplanes(bands * bits, LSH_DIM)
     out = []
-    for b in range(LSH_BANDS):
+    for b in range(bands):
         out.append(" + ".join(
-            f"(CASE WHEN ({_plane_dot_duck(col, planes[b * LSH_BITS + i], LSH_QUANT)})"
+            f"(CASE WHEN ({_plane_dot_duck(col, planes[b * bits + i], LSH_QUANT)})"
             f" > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(LSH_BITS)))
+            for i in range(bits)))
     return out
 
 
-def _bands_cte(src: str) -> str:
+def _bands_cte(src: str, bands: int | None = None,
+               bits: int | None = None) -> str:
     """bands(vec_id, band_idx, band_val) over ``src(vec_id, embedding)``."""
-    exprs = _band_exprs_duck()
+    exprs = _band_exprs_duck(bands=bands, bits=bits)
     rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band_idx, band_{b} AS band_val FROM wb"
         for b in range(len(exprs)))
@@ -308,14 +314,15 @@ def _bands_cte(src: str) -> str:
     return f"wb AS (SELECT vec_id, embedding, {cols} FROM {src}),\nbands AS ({rows})"
 
 
-def ann_oracle(query_ids: list[int], k: int, bucketed: bool) -> str:
+def ann_oracle(query_ids: list[int], k: int, bucketed: bool,
+               bands: int | None = None, bits: int | None = None) -> str:
     qids = ", ".join(str(q) for q in query_ids)
     cos = (f"round({_dot('q.embedding', 'e.embedding')} / "
            f"(sqrt({_dot('q.embedding', 'q.embedding')}) * "
            f"sqrt({_dot('e.embedding', 'e.embedding')})), 4)")
     if bucketed:
         return f"""
-WITH {_bands_cte('embeddings')},
+WITH {_bands_cte('embeddings', bands, bits)},
 cand AS (
   SELECT DISTINCT qb.vec_id AS query_id, eb.vec_id
   FROM bands qb JOIN bands eb
@@ -348,7 +355,8 @@ QUALIFY rank <= {k}
 """
 
 
-def embedding_dedup_oracle(threshold: float) -> str:
+def embedding_dedup_oracle(threshold: float, bands: int | None = None,
+                           bits: int | None = None) -> str:
     cos = (f"round({_dot('l.embedding', 'r2.embedding')} / "
            f"(sqrt({_dot('l.embedding', 'l.embedding')}) * "
            f"sqrt({_dot('r2.embedding', 'r2.embedding')})), 4)")
@@ -358,7 +366,7 @@ WITH emb AS (
   UNION ALL
   SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
 ),
-{_bands_cte('emb')},
+{_bands_cte('emb', bands, bits)},
 cand AS (
   SELECT DISTINCT lb.vec_id AS a, rb.vec_id AS b
   FROM bands lb JOIN bands rb

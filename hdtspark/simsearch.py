@@ -33,9 +33,21 @@ _DOT = (
 
 LSH_SEED = 0x5EED
 LSH_QUANT = 10000
-LSH_BANDS = 2
-LSH_BITS = 8
+# PRODUCTION defaults (VERDICT r4 next #5): 4 bands x 16 bits.  At 16 bits
+# a band takes 2^16 = 65536 values, so at 10^9 docs a bucket holds ~15k
+# vectors (vs ~4M at the old 2x8 default, whose bucket-local self-join
+# degenerated toward all-pairs); 4 bands keep recall for near-identical
+# pairs: at cosine 0.99 (angle ~8.1 deg) P(plane agrees) ~ 1 - 8.1/180 =
+# 0.955, P(16-bit band match) ~ 0.48, P(>=1 of 4 bands) ~ 0.93 — and exact
+# duplicates always collide.  The toy 2x8 setting stays available via
+# parameters for the fast oracle rows (dd_embedding / ann_bucketed),
+# mirroring the dd_minhash / dd_minhash_prod split.
+LSH_BANDS = 4
+LSH_BITS = 16
 LSH_DIM = 64
+# toy parameters for cheap oracle cross-checks
+LSH_BANDS_TOY = 2
+LSH_BITS_TOY = 8
 
 
 def _cosine_expr(a: str, b: str) -> str:

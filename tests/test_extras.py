@@ -192,6 +192,37 @@ def test_lsh_candidate_fraction_shrinks_with_bits(embeddings):
     assert many_bits / total_pairs < 0.35  # random dim-8 vectors, 6 sign bits
 
 
+def test_production_lsh_defaults_prune_and_keep_recall(embeddings):
+    """VERDICT r4 next #5: the production signature width must be >= 4
+    bands x 16 bits (the old 2x8 default left only 256 distinct band
+    values — ~4M-vector buckets at 10^9 docs), pruning must strengthen at
+    that width, and exact duplicates must still be found (they collide on
+    EVERY band at any width)."""
+    assert simsearch.LSH_BANDS >= 4 and simsearch.LSH_BITS >= 16
+
+    def cand_pairs(bands: int, bits: int) -> int:
+        rows = simsearch.lsh_band_rows(embeddings, bands=bands, bits=bits,
+                                       dim=8)
+        l = rows.selectExpr("vec_id AS a", "band_idx", "band_val")
+        r = rows.selectExpr("vec_id AS b", "band_idx", "band_val")
+        return (l.join(r, ["band_idx", "band_val"]).filter("a < b")
+                .select("a", "b").distinct().count())
+
+    toy = cand_pairs(simsearch.LSH_BANDS_TOY, simsearch.LSH_BITS_TOY)
+    prod = cand_pairs(simsearch.LSH_BANDS, simsearch.LSH_BITS)
+    assert prod < toy, (prod, toy)
+
+    # recall at the production default: every injected exact duplicate pair
+    # survives (near-random 8-dim vectors produce no natural 0.99 pairs)
+    dup = embeddings.selectExpr("vec_id + 1000 AS vec_id", "embedding",
+                                "label")
+    pairs = dedup.embedding_near_duplicates(
+        embeddings.unionByName(dup), threshold=0.99, dim=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    n = embeddings.count()
+    assert {(i, i + 1000) for i in range(n)} <= got
+
+
 def test_multimodal_features(docs):
     media = multimodal.attach_payload(docs)
     feats = {r["doc_id"]: (r["n_bytes"], r["width"], r["height"], r["frames"])
