@@ -4,9 +4,11 @@ The reference smoke-runs the W3C rdf-tests SPARQL suites against its
 engine (reference src/sparql.rs:317-418, git submodule); that corpus is
 not vendored here, so this sweep plays the same role in-repo: one query
 per grammar production the parser claims (SURVEY.md §2.5), every query
-executed over the golden KG, results spot-checked against the pure-Python
-oracle where the semantics are cheap to restate.  A parse or evaluation
-error anywhere is a sweep failure — exactly the class of gap the W3C run
+executed over the golden KG, and EVERY query's result exact-checked
+against the pure-Python oracle (VERDICT r4 next #8 — no execute-only
+rows remain).  Ordered+LIMITed queries project only the ordered column so
+the row SET stays deterministic under ties.  A parse or evaluation error
+anywhere is a sweep failure — exactly the class of gap the W3C run
 catches for the reference.
 """
 
@@ -57,6 +59,49 @@ def _idx(o):
             for s, _, oo in o.pattern(None, rules.P_INDEX, None)]
 
 
+def _roles(o):
+    return o.pattern(None, ROLE, None)
+
+
+def _tools(o):
+    return {s: oo for s, _, oo in o.pattern(None, TOOL, None)}
+
+
+def _hasturn(o):
+    return o.pattern(None, rules.P_HASTURN, None)
+
+
+def _left_tool(o, f, keep=lambda t: True):
+    """(turn, f(tool) or None) per role triple — the OPTIONAL-join shape."""
+    tools = _tools(o)
+    return {(s, f(tools[s]) if s in tools and keep(tools[s]) else None)
+            for s, _, _ in _roles(o)}
+
+
+def _ent_counts(o):
+    from collections import Counter
+    return Counter(e for _, _, e in _mentions(o))
+
+
+def _spark_turns(o):
+    """Turns mentioning an entity whose IRI contains 'spark'."""
+    return {s for s, _, e in _mentions(o) if "spark" in e}
+
+
+def _sorted_ents(o):
+    """ALL mention objects in sorted order (multiset — ties collapse only
+    in the final set compare, so LIMIT prefixes are deterministic)."""
+    return sorted(e for _, _, e in _mentions(o))
+
+
+def _coment_pairs(o):
+    """(a, b) entity pairs co-mentioned by some turn (the ^M/M path)."""
+    by_turn: dict = {}
+    for s, _, e in _mentions(o):
+        by_turn.setdefault(s, set()).add(e)
+    return {(a, b) for es in by_turn.values() for a in es for b in es}
+
+
 # (id, query, expected) — expected is None (execute + count, no error) or a
 # callable(oracle) -> expected set of row tuples in column-name-sorted order.
 SWEEP = [
@@ -69,14 +114,18 @@ SWEEP = [
      lambda o: {(oo,) for s, _, oo in _mentions(o)
                 if s == f"{BASE}/conv/conv-7/t/0"}),
     ("p_free", f"SELECT ?x {{ <{BASE}/conv/conv-7/t/0> ?x <{SPARK_E}> }}",
-     None),
+     lambda o: {(p,) for _, p, _ in
+                o.pattern(f"{BASE}/conv/conv-7/t/0", None, SPARK_E)}),
     ("two_pattern_join",
      f"SELECT ?t ?e {{ ?t <{M}> ?e . ?e <{T}> <{ENT}> }}",
      lambda o: {(e, t) for t, _, e in _mentions(o)}),
     ("three_pattern_join",
      f"SELECT ?c ?t ?e {{ ?c <{rules.P_HASTURN}> ?t . ?t <{M}> ?e . "
-     f"?e a <{ENT}> }}", None),
-    ("same_var_twice", "SELECT ?x { ?x ?p ?x }", None),
+     f"?e a <{ENT}> }}",
+     lambda o: {(c, e, t) for c, _, t in _hasturn(o)
+                for t2, _, e in _mentions(o) if t2 == t}),
+    ("same_var_twice", "SELECT ?x { ?x ?p ?x }",
+     lambda o: {(s,) for s, _, oo in o.spo_str() if s == oo}),
     # --- prologue --------------------------------------------------------
     ("prefix", f"PREFIX e: <{BASE}/e/> PREFIX p: <{BASE}/p/> "
      "SELECT ?t { ?t p:mentions e:apache-spark }",
@@ -91,22 +140,26 @@ SWEEP = [
                 if oo == '"user"'}),
     ("typed_literal",
      f'SELECT ?t {{ ?t <{rules.P_INDEX}> '
-     f'"0"^^<{rules.XSD_INTEGER}> }}', None),
+     f'"0"^^<{rules.XSD_INTEGER}> }}',
+     lambda o: {(s,) for s, _, v in _idx(o) if v == 0}),
     ("single_quoted", f"SELECT ?t {{ ?t <{ROLE}> 'user' }}",
      lambda o: {(s,) for s, _, oo in o.pattern(None, ROLE, None)
                 if oo == '"user"'}),
     # --- FILTER builtins and operators -----------------------------------
     ("f_regex", f'SELECT ?e {{ ?t <{M}> ?e FILTER (REGEX(?e, "spark")) }}',
-     None),
+     lambda o: {(e,) for _, _, e in _mentions(o) if "spark" in e}),
     ("f_strstarts",
      f'SELECT ?e {{ ?t <{M}> ?e FILTER (STRSTARTS(?e, "{BASE}/e/")) }}',
-     None),
+     lambda o: {(e,) for _, _, e in _mentions(o)
+                if e.startswith(f"{BASE}/e/")}),
     ("f_strends", f'SELECT ?e {{ ?t <{M}> ?e FILTER (STRENDS(?e, "k")) }}',
-     None),
+     lambda o: {(e,) for _, _, e in _mentions(o) if e.endswith("k")}),
     ("f_contains", f'SELECT ?e {{ ?t <{M}> ?e FILTER (CONTAINS(?e, "q")) }}',
-     None),
+     lambda o: {(e,) for _, _, e in _mentions(o) if "q" in e}),
     ("f_ucase_lcase",
-     f'SELECT ?e {{ ?t <{M}> ?e FILTER (UCASE(LCASE(?e)) != ?e) }}', None),
+     f'SELECT ?e {{ ?t <{M}> ?e FILTER (UCASE(LCASE(?e)) != ?e) }}',
+     lambda o: {(e,) for _, _, e in _mentions(o)
+                if e.lower().upper() != e}),
     ("f_strlen", f"SELECT ?e {{ ?t <{M}> ?e FILTER (STRLEN(?e) > 20) }}",
      lambda o: {(oo,) for _, _, oo in _mentions(o) if len(oo) > 20}),
     ("f_eq", f'SELECT ?t {{ ?t <{M}> ?e FILTER (?e = "{SPARK_E}") }}',
@@ -114,9 +167,11 @@ SWEEP = [
     ("f_neq", f'SELECT ?e {{ ?t <{M}> ?e FILTER (?e != "{SPARK_E}") }}',
      lambda o: {(oo,) for _, _, oo in _mentions(o) if oo != SPARK_E}),
     ("f_lt_gt", 'SELECT ?e { ?t <%s> ?e FILTER (?e > "a" && ?e < "{") }' % M,
-     None),
+     lambda o: {(e,) for _, _, e in _mentions(o) if "a" < e < "{"}),
     ("f_le_ge", f'SELECT ?e {{ ?t <{M}> ?e '
-     f'FILTER (?e >= "{SPARK_E}" || ?e <= "a") }}', None),
+     f'FILTER (?e >= "{SPARK_E}" || ?e <= "a") }}',
+     lambda o: {(e,) for _, _, e in _mentions(o)
+                if e >= SPARK_E or e <= "a"}),
     ("f_not", f'SELECT ?e {{ ?t <{M}> ?e FILTER (!CONTAINS(?e, "x")) }}',
      lambda o: {(oo,) for _, _, oo in _mentions(o) if "x" not in oo}),
     ("f_nested_parens",
@@ -136,34 +191,46 @@ SWEEP = [
                 if "a" in oo and "s" in oo}),
     # --- OPTIONAL --------------------------------------------------------
     ("opt_plain", f"SELECT ?t ?tool {{ ?t <{ROLE}> ?r . "
-     f"OPTIONAL {{ ?t <{TOOL}> ?tool }} }}", None),
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool }} }}",
+     lambda o: _left_tool(o, lambda t: t)),
     ("opt_filter_inside", f"SELECT ?t ?tool {{ ?t <{ROLE}> ?r . "
      f'OPTIONAL {{ ?t <{TOOL}> ?tool FILTER (CONTAINS(?tool, "s")) }} }}',
-     None),
+     lambda o: _left_tool(o, lambda t: t, keep=lambda t: "s" in t)),
     ("opt_nested", f"SELECT ?t ?e ?tool {{ ?t <{M}> ?e . "
      f"OPTIONAL {{ ?t <{TOOL}> ?tool OPTIONAL {{ ?t <{ROLE}> ?r }} }} }}",
-     None),
+     lambda o: {(e, s, _tools(o).get(s)) for s, _, e in _mentions(o)}),
     ("opt_two", f"SELECT ?t {{ ?t <{ROLE}> ?r . "
      f"OPTIONAL {{ ?t <{TOOL}> ?tool }} OPTIONAL {{ ?t <{M}> ?e }} }}",
-     None),
+     lambda o: {(s,) for s, _, _ in _roles(o)}),
     ("opt_bind_inside", f"SELECT ?t ?u {{ ?t <{ROLE}> ?r . "
-     f"OPTIONAL {{ ?t <{TOOL}> ?tool BIND(UCASE(?tool) AS ?u) }} }}", None),
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool BIND(UCASE(?tool) AS ?u) }} }}",
+     lambda o: _left_tool(o, lambda t: t.upper())),
     # --- UNION -----------------------------------------------------------
     ("union_two", f"SELECT ?x {{ {{ ?x <{M}> <{SPARK_E}> }} UNION "
-     f"{{ ?x a <{ENT}> }} }}", None),
+     f"{{ ?x a <{ENT}> }} }}",
+     lambda o: ({(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}
+                | {(e,) for e, _, _ in _typed(o)})),
     ("union_three", f"SELECT ?x {{ {{ ?x <{M}> <{SPARK_E}> }} UNION "
-     f"{{ ?x a <{ENT}> }} UNION {{ ?x <{ROLE}> \"user\" }} }}", None),
+     f"{{ ?x a <{ENT}> }} UNION {{ ?x <{ROLE}> \"user\" }} }}",
+     lambda o: ({(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}
+                | {(e,) for e, _, _ in _typed(o)}
+                | {(s,) for s, _, r in _roles(o) if r == '"user"'})),
     ("union_disjoint_vars", f"SELECT ?a ?b {{ {{ ?a <{M}> <{SPARK_E}> }} "
-     f"UNION {{ ?b a <{ENT}> }} }}", None),
+     f"UNION {{ ?b a <{ENT}> }} }}",
+     lambda o: ({(s, None) for s, _, oo in _mentions(o) if oo == SPARK_E}
+                | {(None, e) for e, _, _ in _typed(o)})),
     ("union_filter_scoped",
      f'SELECT ?e {{ {{ ?t <{M}> ?e FILTER (CONTAINS(?e, "spark")) }} '
-     f"UNION {{ ?e a <{ENT}> }} }}", None),
+     f"UNION {{ ?e a <{ENT}> }} }}",
+     lambda o: ({(e,) for _, _, e in _mentions(o) if "spark" in e}
+                | {(e,) for e, _, _ in _typed(o)})),
     # --- BIND / VALUES / MINUS -------------------------------------------
     ("bind_concat", f"SELECT ?t ?k {{ ?t <{M}> ?e . "
      f"BIND(CONCAT(?e, \"#x\") AS ?k) }}",
      lambda o: {(oo + "#x", s) for s, _, oo in _mentions(o)}),
     ("bind_chain", f"SELECT ?n {{ ?t <{M}> ?e . "
-     f"BIND(STRLEN(?e) AS ?m) BIND(?m + 1 AS ?n) }}", None),
+     f"BIND(STRLEN(?e) AS ?m) BIND(?m + 1 AS ?n) }}",
+     lambda o: {(len(e) + 1,) for _, _, e in _mentions(o)}),
     ("bind_only_group", 'SELECT ?x { BIND("v" AS ?x) }',
      lambda o: {("v",)}),
     ("values_single", f"SELECT ?t {{ ?t <{M}> ?e . "
@@ -174,18 +241,26 @@ SWEEP = [
      lambda o: {(oo, s) for s, _, oo in _mentions(o)
                 if oo in (SPARK_E, SQL_E)}),
     ("values_multi_var", f"SELECT ?t ?p ?e {{ ?t ?p ?e . "
-     f"VALUES (?p ?e) {{ (<{M}> <{SPARK_E}>) (<{T}> UNDEF) }} }}", None),
+     f"VALUES (?p ?e) {{ (<{M}> <{SPARK_E}>) (<{T}> UNDEF) }} }}",
+     lambda o: ({(SPARK_E, M, s) for s, _, oo in _mentions(o)
+                 if oo == SPARK_E}
+                | {(e, T, s) for s, _, e in o.pattern(None, T, None)})),
     ("values_fresh_var", f"SELECT ?t ?lang {{ ?t <{M}> <{SPARK_E}> . "
      f'VALUES ?lang {{ "en" "de" }} }}',
      lambda o: {(l, s) for s, _, oo in _mentions(o) if oo == SPARK_E
                 for l in ('"en"', '"de"')}),
     ("minus_basic", f"SELECT ?t ?e {{ ?t <{M}> ?e "
-     f"MINUS {{ ?t <{M}> <{SPARK_E}> }} }}", None),
+     f"MINUS {{ ?t <{M}> <{SPARK_E}> }} }}",
+     lambda o: {(e, t) for t, _, e in _mentions(o)
+                if t not in {s for s, _, oo in _mentions(o)
+                             if oo == SPARK_E}}),
     ("minus_no_shared_vars", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> "
      f"MINUS {{ ?z <{ROLE}> \"user\" }} }}",
      lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
     ("minus_with_filter", f"SELECT ?t ?e {{ ?t <{M}> ?e "
-     f'MINUS {{ ?t <{M}> ?x FILTER (CONTAINS(?x, "spark")) }} }}', None),
+     f'MINUS {{ ?t <{M}> ?x FILTER (CONTAINS(?x, "spark")) }} }}',
+     lambda o: {(e, t) for t, _, e in _mentions(o)
+                if t not in _spark_turns(o)}),
     # --- FILTER (NOT) EXISTS / subqueries --------------------------------
     ("exists_shared",
      f"SELECT ?t ?e {{ ?t <{M}> ?e "
@@ -211,7 +286,9 @@ SWEEP = [
      lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
     ("exists_filter_inside",
      f"SELECT ?t {{ ?t <{M}> ?e FILTER EXISTS {{ ?t <{M}> ?x "
-     f'FILTER (CONTAINS(?x, "spark")) }} }}', None),
+     f'FILTER (CONTAINS(?x, "spark")) }} }}',
+     lambda o: {(s,) for s, _, _ in _mentions(o)
+                if s in _spark_turns(o)}),
     ("subquery_agg_join",
      f"SELECT ?e ?n {{ {{ SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} "
      f"GROUP BY ?e }} FILTER (?n >= 3) }}",
@@ -228,23 +305,37 @@ SWEEP = [
     # --- solution modifiers ----------------------------------------------
     ("distinct", f"SELECT DISTINCT ?e {{ ?t <{M}> ?e }}",
      lambda o: {(oo,) for _, _, oo in _mentions(o)}),
+    # LIMIT prefixes below are deterministic as SETS because only the
+    # ordered column is projected (value multisets, not arbitrary rows)
     ("order_limit", f"SELECT ?e {{ ?t <{M}> ?e }} ORDER BY ?e LIMIT 3",
-     None),
+     lambda o: {(e,) for e in _sorted_ents(o)[:3]}),
     ("order_desc_offset",
      f"SELECT ?e {{ ?t <{M}> ?e }} ORDER BY DESC(?e) LIMIT 2 OFFSET 2",
-     None),
+     lambda o: {(e,) for e in _sorted_ents(o)[::-1][2:4]}),
     ("order_two_keys",
-     f"SELECT ?t ?e {{ ?t <{M}> ?e }} ORDER BY ?t DESC(?e) LIMIT 5", None),
+     f"SELECT ?t ?e {{ ?t <{M}> ?e }} ORDER BY ?t DESC(?e) LIMIT 5",
+     lambda o: {(e, t) for t, e in
+                sorted(sorted(((s, e) for s, _, e in _mentions(o)),
+                              key=lambda p: p[1], reverse=True),
+                       key=lambda p: p[0])[:5]}),
     ("projection_expr",
-     f"SELECT (UCASE(?e) AS ?u) {{ ?t <{M}> ?e }} LIMIT 4", None),
+     f"SELECT (UCASE(?e) AS ?u) {{ ?t <{M}> ?e }} ORDER BY ?e LIMIT 4",
+     lambda o: {(e.upper(),) for e in _sorted_ents(o)[:4]}),
     ("group_count",
-     f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} GROUP BY ?e", None),
+     f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} GROUP BY ?e",
+     lambda o: {(e, n) for e, n in _ent_counts(o).items()}),
     ("group_min_max", f"SELECT ?e (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) "
-     f"{{ ?t <{M}> ?e }} GROUP BY ?e", None),
+     f"{{ ?t <{M}> ?e }} GROUP BY ?e",
+     lambda o: {(e, max(s for s, _, e2 in _mentions(o) if e2 == e),
+                 min(s for s, _, e2 in _mentions(o) if e2 == e))
+                for e in {e for _, _, e in _mentions(o)}}),
     ("group_having", f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} "
-     f"GROUP BY ?e HAVING (COUNT(*) >= 3)", None),
+     f"GROUP BY ?e HAVING (COUNT(*) >= 3)",
+     lambda o: {(e, n) for e, n in _ent_counts(o).items() if n >= 3}),
     ("group_two_having", f"SELECT ?e (COUNT(*) AS ?n) {{ ?t <{M}> ?e }} "
-     f"GROUP BY ?e HAVING (COUNT(*) >= 2) HAVING (COUNT(*) <= 50)", None),
+     f"GROUP BY ?e HAVING (COUNT(*) >= 2) HAVING (COUNT(*) <= 50)",
+     lambda o: {(e, n) for e, n in _ent_counts(o).items()
+                if 2 <= n <= 50}),
     # --- ASK / CONSTRUCT / DESCRIBE --------------------------------------
     ("ask_true", f"ASK {{ ?t <{M}> ?e }}", lambda o: {(True,)}),
     ("ask_false", "ASK { ?t <http://nope/p> ?e }", lambda o: {(False,)}),
@@ -260,31 +351,47 @@ SWEEP = [
                 for _, _, oo in _mentions(o)}),
     ("construct_two_templates",
      f"CONSTRUCT {{ ?e <{BASE}/p/of> ?t . ?t <{BASE}/p/has> ?e }} "
-     f"WHERE {{ ?t <{M}> ?e . FILTER (CONTAINS(?e, \"spark\")) }}", None),
+     f"WHERE {{ ?t <{M}> ?e . FILTER (CONTAINS(?e, \"spark\")) }}",
+     lambda o: ({(t, f"{BASE}/p/of", e) for t, _, e in _mentions(o)
+                 if "spark" in e}
+                | {(e, f"{BASE}/p/has", t) for t, _, e in _mentions(o)
+                   if "spark" in e})),
     ("construct_optional_null_drop",
      f"CONSTRUCT {{ ?t <{BASE}/p/usedTool> ?tool }} WHERE "
      f"{{ ?t <{ROLE}> ?r OPTIONAL {{ ?t <{TOOL}> ?tool }} }}",
      lambda o: {(oo, f"{BASE}/p/usedTool", s)
                 for s, _, oo in o.pattern(None, TOOL, None)}),
-    ("describe_one", f"DESCRIBE <{SPARK_E}>", None),
-    ("describe_two", f"DESCRIBE <{SPARK_E}> <{SQL_E}>", None),
+    ("describe_one", f"DESCRIBE <{SPARK_E}>",
+     lambda o: {(oo, p, s) for s, p, oo in o.spo_str()
+                if SPARK_E in (s, oo)}),
+    ("describe_two", f"DESCRIBE <{SPARK_E}> <{SQL_E}>",
+     lambda o: {(oo, p, s) for s, p, oo in o.spo_str()
+                if {s, oo} & {SPARK_E, SQL_E}}),
     ("describe_pname", f"PREFIX e: <{BASE}/e/> DESCRIBE e:apache-spark",
-     None),
+     lambda o: {(oo, p, s) for s, p, oo in o.spo_str()
+                if SPARK_E in (s, oo)}),
     # --- property paths --------------------------------------------------
-    ("path_seq", f"SELECT ?c ?e {{ ?c <{rules.P_HASTURN}>/<{M}> ?e }}", None),
+    ("path_seq", f"SELECT ?c ?e {{ ?c <{rules.P_HASTURN}>/<{M}> ?e }}",
+     lambda o: {(c, e) for c, _, t in _hasturn(o)
+                for t2, _, e in _mentions(o) if t2 == t}),
     ("path_alt", f"SELECT ?s ?o {{ ?s (<{M}>|<{T}>) ?o }}",
      lambda o: ({(oo, s) for s, _, oo in _mentions(o)}
                 | {(oo, s) for s, _, oo in o.pattern(None, T, None)})),
     ("path_inverse", f"SELECT ?e ?t {{ ?e ^<{M}> ?t }}",
      lambda o: {(oo, s) for s, _, oo in _mentions(o)}),
-    ("path_inv_seq", f"SELECT ?a ?b {{ ?a ^<{M}>/<{M}> ?b }}", None),
-    ("path_plus", f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>+ ?b }}", None),
+    ("path_inv_seq", f"SELECT ?a ?b {{ ?a ^<{M}>/<{M}> ?b }}",
+     lambda o: _coment_pairs(o)),
+    ("path_plus", f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>+ ?b }}",
+     lambda o: _prev_pairs(o)),
     ("path_plus_seeded_ask",
      f"ASK {{ ?a <{rules.P_PREV}>+ <{BASE}/conv/nope/t/0> }}",
      lambda o: {(False,)}),
     ("path_paren_combo",
      f"SELECT ?c ?x {{ ?c <{rules.P_HASTURN}>/(<{ROLE}>|<{TOOL}>) ?x }}",
-     None),
+     lambda o: ({(c, {s: oo for s, _, oo in _roles(o)}[t])
+                 for c, _, t in _hasturn(o)}
+                | {(c, _tools(o)[t]) for c, _, t in _hasturn(o)
+                   if t in _tools(o)})),
     # zero-or-more / zero-or-one (set semantics: closure/step ∪ reflexive
     # pairs over the node set, duplicate-free)
     ("path_star", f"SELECT ?a ?b {{ ?a <{rules.P_PREV}>* ?b }}",
@@ -330,14 +437,22 @@ SWEEP = [
      f"SELECT ?t {{ ?t <{rules.P_INDEX}> 0 }}",
      lambda o: {(s,) for s, _, v in _idx(o) if v == 0}),
     # --- whitespace / syntax robustness ----------------------------------
-    ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}", None),
-    ("trailing_dots", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> . }}", None),
-    ("packed_whitespace", f"SELECT ?t{{?t <{M}> <{SPARK_E}>}}", None),
+    ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}",
+     lambda o: {(e, t) for t, _, e in _mentions(o)}),
+    ("trailing_dots", f"SELECT ?t {{ ?t <{M}> <{SPARK_E}> . }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("packed_whitespace", f"SELECT ?t{{?t <{M}> <{SPARK_E}>}}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    # LIMIT is sized to never bite so the row SET stays deterministic
     ("newlines", f"SELECT ?t\n{{\n  ?t <{M}> ?e .\n  FILTER (\n"
-     f"    CONTAINS(?e, \"spark\")\n  )\n}}\nLIMIT 10", None),
-    ("where_keyword", f"SELECT ?t WHERE {{ ?t <{M}> ?e }}", None),
+     f"    CONTAINS(?e, \"spark\")\n  )\n}}\nLIMIT 100000",
+     lambda o: {(s,) for s, _, e in _mentions(o) if "spark" in e}),
+    ("where_keyword", f"SELECT ?t WHERE {{ ?t <{M}> ?e }}",
+     lambda o: {(s,) for s, _, _ in _mentions(o)}),
     ("case_insensitive_kw",
-     f"select ?t where {{ ?t <{M}> ?e }} order by ?t limit 2", None),
+     f"select ?t where {{ ?t <{M}> ?e }} order by ?t limit 2",
+     lambda o: {(t,) for t in
+                sorted(s for s, _, _ in _mentions(o))[:2]}),
 ]
 
 
