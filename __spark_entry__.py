@@ -491,6 +491,24 @@ def _num_kg(spark, sf_dir):
     return _kg_cache[key]
 
 
+def _q_path_negset(spark, sf_dir):
+    """§2.5: negated property set — every edge whose predicate is not
+    rdf:type (ID-route scan + residual p-NOT-IN filter)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir),
+                        f"SELECT ?s ?o {{ ?s !<{rules.P_TYPE}> ?o }}")
+
+
+def _q_path_composite_plus(spark, sf_dir):
+    """§2.5: closure over a COMPOSITE path — (prevDoc/prevDoc)+ =
+    even-length chains; edge relation BGP-compiled once, iterated
+    semi-naively."""
+    from hdtspark import sparql
+    return sparql.query(
+        _chain_kg(spark, sf_dir),
+        f"SELECT ?a ?b {{ ?a (<{P_PREVDOC}>/<{P_PREVDOC}>)+ ?b }}")
+
+
 def _q_sparql_numeric(spark, sf_dir):
     """§2.5: typed-literal numeric semantics — FILTER and ORDER BY compare
     xsd:integer literals by VALUE (string order diverges above id 9: "12"
@@ -568,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_plus": _q_path_plus,
         "kg_path_star": _q_path_star,
         "kg_path_opt": _q_path_opt,
+        "kg_path_negset": _q_path_negset,
+        "kg_path_composite_plus": _q_path_composite_plus,
         "kg_sparql_numeric": _q_sparql_numeric,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
@@ -752,6 +772,23 @@ WITH edges AS (
   SELECT a AS n FROM edges UNION SELECT b FROM edges
 )
 SELECT a, b FROM edges UNION SELECT n, n FROM nodes
+""",
+        "kg_path_negset": k(
+            f"SELECT s, o FROM tri WHERE p <> '{rules.P_TYPE}'"
+        ),
+        "kg_path_composite_plus": f"""
+WITH RECURSIVE edges AS (
+  SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS a,
+         '{rules.BASE}/d/' || CAST(doc_id - 1 AS VARCHAR) AS b
+  FROM documents WHERE doc_id % 10 <> 0
+), e2 AS (
+  SELECT l.a, r2.b FROM edges l JOIN edges r2 ON l.b = r2.a
+), cl AS (
+  SELECT a, b FROM e2
+  UNION
+  SELECT cl.a, e.b FROM cl JOIN e2 e ON cl.b = e.a
+)
+SELECT a, b FROM cl
 """,
         "kg_sparql_numeric": f"""
 SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS d,

@@ -243,7 +243,7 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
     for stage, builder in [
         ("ops", lambda: encode.ops_projection(spo, bits=bits)),
         ("pso", lambda: encode.pso_projection(spo, bits=bits)),
-        ("adj", lambda: bitmap_triples.adjacency(spo)),
+        ("adj", lambda: bitmap_triples.adjacency(spo, bits=bits)),
     ]:
         if not mat.stage_complete(stage, spo_fp):
             mat.write_stage(stage, builder(), spo_fp)

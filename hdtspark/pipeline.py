@@ -54,7 +54,7 @@ def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
         # adds real memory churn to build-only workloads.  (The durable
         # path materializes them as parquet instead — checkpoint.py.)
         ops, pso = ops.cache(), pso.cache()
-    adj = bitmap_triples.adjacency(spo) if with_adjacency else None
+    adj = bitmap_triples.adjacency(spo, bits=bits) if with_adjacency else None
 
     return KG(dict=d, spo=spo, ops=ops, pso=pso, adj=adj, triples_str=triples_str)
 

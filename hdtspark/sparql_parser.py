@@ -36,7 +36,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .query import KG
 
@@ -73,11 +73,17 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
 
 @dataclass(frozen=True)
 class PlusPath:
-    """One-or-more closure over a single predicate (property path ``p+``),
-    kept symbolic in the pattern list; the evaluator runs a distributed
-    semi-naive transitive closure for it (_closure_pairs_ids)."""
+    """One-or-more closure (property path ``p+``), kept symbolic in the
+    pattern list; the evaluator runs a distributed semi-naive transitive
+    closure for it (_closure_pairs_ids).  A single (optionally inverted)
+    IRI sets ``iri`` and iterates on 8-byte IDs; a COMPOSITE inner path
+    (e.g. ``(a/b)+``) sets ``node`` (the path AST) instead — its edge
+    relation is built once through the ID-level BGP compiler and the
+    iteration runs on the translated string pairs (composite endpoints
+    span ID spaces, so strings are the sound common denominator)."""
 
-    iri: str
+    iri: str | None = None
+    node: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -89,7 +95,8 @@ class StarPath:
     arms: SPARQL path semantics are SET-based (W3C ALP), so a cyclic graph
     must not yield duplicate (x, x) rows from both arms."""
 
-    iri: str
+    iri: str | None = None
+    node: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -97,7 +104,20 @@ class OptPath:
     """Zero-or-one (``p?``) — duplicate-free union of the zero-length arm
     and the single-step pattern (same set semantics as StarPath)."""
 
-    iri: str
+    iri: str | None = None
+    node: tuple | None = None
+
+
+@dataclass(frozen=True)
+class NegSet:
+    """Negated property set ``!(p1|^p2|...)`` — matches any edge whose
+    predicate is NOT in the set; ``inv`` predicates apply to reversed
+    edges (W3C NegatedPropertySet).  Evaluated as an ID-route scan with a
+    residual ``p NOT IN`` filter (inherently an almost-full scan when both
+    endpoints are free — the unbound-predicate shape)."""
+
+    fwd: tuple = ()
+    inv: tuple = ()
 
 
 @dataclass
@@ -615,7 +635,10 @@ class _Parser:
 
     def _path_unary(self):
         k, v = self.peek()
-        if (k, v) == ("other", "^"):
+        if (k, v) == ("other", "!"):
+            self.next()
+            node = self._negated_set()
+        elif (k, v) == ("other", "^"):
             self.next()
             node = ("inv", self._path_unary())
         elif k == "lparen":
@@ -629,37 +652,36 @@ class _Parser:
             node = ({"+": "plus", "*": "star", "?": "opt"}[sym], node)
         return node
 
+    def _negated_set(self):
+        """!iri | !^iri | !(iri|^iri|...) -> ("negset", fwd, inv)."""
+        fwd, inv = [], []
+
+        def one():
+            if self.peek() == ("other", "^"):
+                self.next()
+                inv.append(self.term(*self.next()))
+            else:
+                fwd.append(self.term(*self.next()))
+
+        if self.peek()[0] == "lparen":
+            self.next()
+            one()
+            while self.peek() == ("other", "|"):
+                self.next()
+                one()
+            assert self.next()[0] == "rparen", "negated set needs )"
+        else:
+            one()
+        return ("negset", tuple(fwd), tuple(inv))
+
     def _desugar_path(self, s, node, o) -> list[list]:
-        """(s, path, o) -> pattern-list ALTERNATIVES: ``/`` introduces a
-        fresh join variable, ``^`` swaps subject/object, ``|`` multiplies
-        alternatives; ``+`` stays symbolic (PlusPath) for the evaluator's
-        distributed closure.  Everything except ``+`` therefore rides the
-        existing ID-level BGP compiler unchanged."""
-        kind = node[0]
-        if kind == "iri":
-            return [[(s, node[1], o)]]
-        if kind == "inv":
-            return self._desugar_path(o, node[1], s)
-        if kind == "alt":
-            return (self._desugar_path(s, node[1], o)
-                    + self._desugar_path(s, node[2], o))
-        if kind == "seq":
+        def fresh() -> str:
             self._fresh += 1
-            mid = f"?{self._fresh_prefix}{self._fresh}"
-            self.fresh_vars.add(mid[1:])
-            return [l + r for l in self._desugar_path(s, node[1], mid)
-                    for r in self._desugar_path(mid, node[2], o)]
-        if kind in ("plus", "star", "opt"):
-            wrap = {"plus": PlusPath, "star": StarPath, "opt": OptPath}[kind]
-            sym = {"plus": "+", "star": "*", "opt": "?"}[kind]
-            inner = node[1]
-            if inner[0] == "iri":
-                return [[(s, wrap(inner[1]), o)]]
-            if inner[0] == "inv" and inner[1][0] == "iri":
-                return [[(o, wrap(inner[1][1]), s)]]
-            raise ValueError(
-                f"path '{sym}' supports a single (optionally inverted) IRI")
-        raise ValueError(f"unsupported property path {node!r}")
+            v = f"?{self._fresh_prefix}{self._fresh}"
+            self.fresh_vars.add(v[1:])
+            return v
+
+        return _desugar(node, s, o, fresh)
 
     def _pattern_block(self) -> list[tuple[str, str, str]]:
         """{ (term term term .?)* } — the CONSTRUCT template."""
@@ -716,6 +738,40 @@ class _Parser:
             self.next()
             return None
         return self.term(*self.next())
+
+
+def _desugar(node, s, o, fresh) -> list[list]:
+    """(s, path-AST, o) -> pattern-list ALTERNATIVES: ``/`` introduces a
+    fresh join variable (via ``fresh()``), ``^`` swaps subject/object,
+    ``|`` multiplies alternatives, ``!(…)`` stays symbolic (NegSet);
+    ``+``/``*``/``?`` stay symbolic (PlusPath/StarPath/OptPath) for the
+    evaluator's distributed closure — over a single (optionally inverted)
+    IRI by ``iri`` (ID-level iteration) or any composite inner by ``node``
+    (string-pair iteration over a BGP-compiled edge relation).  Everything
+    else rides the ID-level BGP compiler unchanged.  Shared by the parser
+    and the composite-closure evaluator (_composite_pairs)."""
+    kind = node[0]
+    if kind == "iri":
+        return [[(s, node[1], o)]]
+    if kind == "negset":
+        return [[(s, NegSet(node[1], node[2]), o)]]
+    if kind == "inv":
+        return _desugar(node[1], o, s, fresh)
+    if kind == "alt":
+        return _desugar(node[1], s, o, fresh) + _desugar(node[2], s, o, fresh)
+    if kind == "seq":
+        mid = fresh()
+        return [l + r for l in _desugar(node[1], s, mid, fresh)
+                for r in _desugar(node[2], mid, o, fresh)]
+    if kind in ("plus", "star", "opt"):
+        wrap = {"plus": PlusPath, "star": StarPath, "opt": OptPath}[kind]
+        inner = node[1]
+        if inner[0] == "iri":
+            return [[(s, wrap(inner[1]), o)]]
+        if inner[0] == "inv" and inner[1][0] == "iri":
+            return [[(o, wrap(inner[1][1]), s)]]
+        return [[(s, wrap(node=inner), o)]]
+    raise ValueError(f"unsupported property path {node!r}")
 
 
 def parse(q: str) -> Query:
@@ -851,6 +907,82 @@ def _closure_pairs_ids(kg: KG, pid: int | None, seed_id: int | None = None,
     return acc
 
 
+def _composite_pairs(kg: KG, node) -> DataFrame:
+    """The edge relation of a composite path AST as STRING pairs (a, b).
+
+    Each desugared alternative compiles through the ID-level BGP joiner
+    (``bgp`` — pruned projection scans, result-only translation); composite
+    endpoints may land in different ID spaces per alternative, so the
+    translated strings are the sound common denominator for the closure
+    iteration.  Built ONCE per closure (edge-relation-sized)."""
+    from . import sparql as bgp_mod
+
+    n = [0]
+
+    def fresh() -> str:
+        n[0] += 1
+        return f"?__cp{n[0]}"
+
+    parts = []
+    for patterns in _desugar(node, "?__ca", "?__cb", fresh):
+        if any(not isinstance(p[1], str) for p in patterns):
+            raise ValueError(
+                "nested closure/negated set inside a closed path is not "
+                "supported")
+        df = bgp_mod.bgp(kg, patterns)
+        parts.append(df.select(F.col("__ca").alias("a"),
+                               F.col("__cb").alias("b")))
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.unionAll(other)
+    return out.distinct()
+
+
+def _closure_pairs_str(kg: KG, base: DataFrame, seed: str | None = None,
+                       seed_on_a: bool = True,
+                       max_iters: int | None = None) -> DataFrame:
+    """Semi-naive one-or-more closure over a STRING edge relation (a, b) —
+    the composite-path variant of ``_closure_pairs_ids`` (same frontier /
+    anti-join / localCheckpoint structure; see that docstring).  Unseeded ->
+    all pairs; seeded -> the reachable set as one column."""
+    if max_iters is None:
+        max_iters = CLOSURE_MAX_ITERS
+    if seed is not None:
+        if not seed_on_a:
+            base = base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        acc = (base.filter(F.col("a") == seed).select("b").distinct()
+               .localCheckpoint())
+        frontier = acc
+        for _ in range(max_iters):
+            new = (frontier.select(F.col("b").alias("_n"))
+                   .join(base, F.col("_n") == F.col("a"))
+                   .select("b").distinct()
+                   .join(acc, ["b"], "left_anti").localCheckpoint())
+            if new.isEmpty():
+                break
+            acc = acc.unionAll(new).localCheckpoint()
+            frontier = new
+        else:
+            raise ValueError(f"path closure exceeded {max_iters} iterations"
+                             " (raise sparql_parser.CLOSURE_MAX_ITERS)")
+        return acc
+    acc = base.distinct().localCheckpoint()
+    frontier = acc
+    for _ in range(max_iters):
+        new = (frontier.select(F.col("a").alias("_fa"), F.col("b").alias("_n"))
+               .join(base, F.col("_n") == F.col("a"))
+               .select(F.col("_fa").alias("a"), "b").distinct()
+               .join(acc, ["a", "b"], "left_anti").localCheckpoint())
+        if new.isEmpty():
+            break
+        acc = acc.unionAll(new).localCheckpoint()
+        frontier = new
+    else:
+        raise ValueError(f"path closure exceeded {max_iters} iterations"
+                         " (raise sparql_parser.CLOSURE_MAX_ITERS)")
+    return acc
+
+
 def _nodes_df(kg: KG) -> DataFrame:
     """The graph's node set (terms in subject or object position) as a
     one-column ``term`` DataFrame — exactly the dictionary's shared +
@@ -882,13 +1014,29 @@ def _zero_rel(kg: KG, s: str, o: str) -> DataFrame:
         F.col("term").alias(s[1:]))
 
 
+def _plus_rel_composite(kg: KG, s: str, node, o: str) -> DataFrame:
+    """``(composite)+`` closure relation with >=1 free endpoint, iterating
+    on the translated string pairs of the BGP-compiled edge relation."""
+    base = _composite_pairs(kg, node)
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    if s_var and o_var:
+        pairs = _closure_pairs_str(kg, base)
+        if s == o:
+            return (pairs.filter(F.col("a") == F.col("b"))
+                    .select(F.col("a").alias(s[1:])))
+        return pairs.select(F.col("a").alias(s[1:]), F.col("b").alias(o[1:]))
+    if o_var:
+        return (_closure_pairs_str(kg, base, seed=s, seed_on_a=True)
+                .select(F.col("b").alias(o[1:])))
+    return (_closure_pairs_str(kg, base, seed=o, seed_on_a=False)
+            .select(F.col("b").alias(s[1:])))
+
+
 def _plus_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
     """The ``p+`` closure relation with >=1 free endpoint, as string-named
     var columns.  The closure itself runs on IDs (``_closure_pairs_ids``);
     var columns are translated to term strings ONCE here, result-sized, via
     the same broadcast dictionary joins as the BGP compiler."""
-    from pyspark.sql import functions as F
-
     from . import sparql as bgp_mod
     from .query import _lookup_ids
 
@@ -922,8 +1070,6 @@ def _plus_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
 def _step_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
     """Single-step relation (the ``p?`` one-arm) — the ordinary ID-routed
     pattern query projected to the pattern's var columns."""
-    from pyspark.sql import functions as F
-
     from .query import triples_with_pattern
 
     s_var, o_var = s.startswith("?"), o.startswith("?")
@@ -939,34 +1085,60 @@ def _step_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
     return tp.select(F.col("s").alias(s[1:]))
 
 
-def _path_rel(kg: KG, s: str, marker, o: str) -> DataFrame:
+def _step_rel_composite(kg: KG, s: str, node, o: str) -> DataFrame:
+    """Single-step relation of a composite inner (the ``(path)?`` one-arm)."""
+    base = _composite_pairs(kg, node)
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    if s_var and o_var:
+        if s == o:
+            return (base.filter(F.col("a") == F.col("b"))
+                    .select(F.col("a").alias(s[1:])))
+        return base.select(F.col("a").alias(s[1:]), F.col("b").alias(o[1:]))
+    if o_var:
+        return base.filter(F.col("a") == s).select(F.col("b").alias(o[1:]))
+    return base.filter(F.col("b") == o).select(F.col("a").alias(s[1:]))
+
+
+def _one_arm_rel(kg: KG, s: str, marker, o: str) -> DataFrame:
+    """The non-zero arm of a symbolic path marker."""
     if isinstance(marker, PlusPath):
-        return _plus_rel(kg, s, marker.iri, o)
+        return (_plus_rel(kg, s, marker.iri, o) if marker.iri is not None
+                else _plus_rel_composite(kg, s, marker.node, o))
     if isinstance(marker, StarPath):
-        # set semantics (W3C ALP): dedup across the two arms — a node on a
-        # cycle is a reflexive pair in BOTH arms and must appear once
-        return (_plus_rel(kg, s, marker.iri, o)
-                .unionByName(_zero_rel(kg, s, o)).distinct())
+        return (_plus_rel(kg, s, marker.iri, o) if marker.iri is not None
+                else _plus_rel_composite(kg, s, marker.node, o))
     assert isinstance(marker, OptPath), marker
-    return (_step_rel(kg, s, marker.iri, o)
-            .unionByName(_zero_rel(kg, s, o)).distinct())
+    return (_step_rel(kg, s, marker.iri, o) if marker.iri is not None
+            else _step_rel_composite(kg, s, marker.node, o))
+
+
+def _path_rel(kg: KG, s: str, marker, o: str) -> DataFrame:
+    rel = _one_arm_rel(kg, s, marker, o)
+    if isinstance(marker, PlusPath):
+        return rel
+    # star/opt: set semantics (W3C ALP) — dedup across the two arms; a node
+    # on a cycle is a reflexive pair in BOTH arms and must appear once
+    return rel.unionByName(_zero_rel(kg, s, o)).distinct()
 
 
 def _node_exists(kg: KG, term: str) -> bool:
-    from pyspark.sql import functions as F
-
     return _nodes_df(kg).filter(F.col("term") == term).limit(1).count() > 0
 
 
 def _path_hit(kg: KG, s: str, marker, o: str) -> bool:
     """Both endpoints bound: existence test."""
-    from pyspark.sql import functions as F
-
     from .query import _lookup_ids, triples_with_pattern
 
     if isinstance(marker, (StarPath, OptPath)) and s == o:
         if _node_exists(kg, s):
             return True
+    if marker.iri is None:   # composite inner: probe the string relation
+        base = _composite_pairs(kg, marker.node)
+        if isinstance(marker, OptPath):
+            return (base.filter((F.col("a") == s) & (F.col("b") == o))
+                    .limit(1).count()) > 0
+        return (_closure_pairs_str(kg, base, seed=s, seed_on_a=True)
+                .filter(F.col("b") == o).limit(1).count()) > 0
     if isinstance(marker, OptPath):
         return (triples_with_pattern(kg, s=s, p=marker.iri, o=o)
                 .limit(1).count()) > 0
@@ -975,6 +1147,77 @@ def _path_hit(kg: KG, s: str, marker, o: str) -> bool:
         _closure_pairs_ids(kg, _pred_id(kg, marker.iri), seed_id=sid,
                            seed_on_a=True, seeded=True)
         .filter(F.col("b") == oid).limit(1).count()) > 0
+
+
+def _negset_arm(kg: KG, s: str, excl: tuple, o: str) -> DataFrame | bool:
+    """One arm of a negated property set: edges matching the (s, o)
+    endpoint bindings whose predicate is NOT in ``excl``.  ID route — bound
+    endpoints resolve to ids, the scan keeps its pruned projection routing,
+    the exclusion is a residual ``p NOT IN`` filter over the (few) excluded
+    predicate ids, and only result rows are translated.  Returns a bool for
+    the both-bound existence case."""
+    from . import sparql as bgp_mod
+    from .query import _lookup_ids, triple_ids_with_id_pattern
+
+    spark = kg.spo.sparkSession
+    s_var, o_var = s.startswith("?"), o.startswith("?")
+    var_cols = sorted({t[1:] for t in (s, o) if t.startswith("?")})
+    empty = spark.createDataFrame(
+        [], ", ".join(f"`{v}` string" for v in var_cols)) if var_cols else False
+
+    sid, _, oid = _lookup_ids(kg, None if s_var else s, None,
+                              None if o_var else o)
+    if (not s_var and not sid) or (not o_var and not oid):
+        return empty     # bound endpoint not in the graph
+    pids = [r["id"] for r in kg.dict.predicates
+            .filter(F.col("term").isin(list(excl))).collect()] if excl else []
+    ids = triple_ids_with_id_pattern(kg, sid, None, oid)
+    if pids:
+        ids = ids.filter(~F.col("p").isin(pids))
+    if not s_var and not o_var:
+        return ids.limit(1).count() > 0
+    if s_var and o_var:
+        if s == o:
+            ids = ids.filter((F.col("s") == F.col("o"))
+                             & (F.col("s") <= kg.dict.n_shared))
+            return bgp_mod._translate_vars(
+                kg, ids.select(F.col("s").alias(s[1:])), {s[1:]: "shared"})
+        return bgp_mod._translate_vars(
+            kg, ids.select(F.col("s").alias(s[1:]), F.col("o").alias(o[1:])),
+            {s[1:]: "s", o[1:]: "o"})
+    if o_var:
+        return bgp_mod._translate_vars(
+            kg, ids.select(F.col("o").alias(o[1:])), {o[1:]: "o"})
+    return bgp_mod._translate_vars(
+        kg, ids.select(F.col("s").alias(s[1:])), {s[1:]: "s"})
+
+
+def _join_negset(kg: KG, df: DataFrame | None, s: str, ns: NegSet,
+                 o: str) -> DataFrame:
+    """Join one negated-property-set pattern into the solutions.  Forward
+    IRIs exclude predicates of forward edges; inverted IRIs exclude
+    predicates of REVERSED edges; a mixed set is the union of both arms
+    (W3C NegatedPropertySet)."""
+    arms = []
+    if ns.fwd or not ns.inv:
+        arms.append(_negset_arm(kg, s, ns.fwd, o))
+    if ns.inv:
+        arms.append(_negset_arm(kg, o, ns.inv, s))
+    if isinstance(arms[0], bool):      # both endpoints bound: existence
+        hit = any(arms)
+        if df is None:
+            one = kg.spo.sparkSession.range(1).drop("id")
+            return one if hit else one.limit(0)
+        return df if hit else df.limit(0)
+    rel = arms[0]
+    for other in arms[1:]:
+        rel = rel.unionByName(other)
+    if len(arms) > 1:
+        rel = rel.distinct()
+    if df is None:
+        return rel
+    common = [c for c in df.columns if c in rel.columns]
+    return df.join(rel, on=common, how="inner") if common else df.crossJoin(rel)
 
 
 def _join_path(kg: KG, df: DataFrame | None, s: str, marker,
@@ -1014,11 +1257,14 @@ def _eval_group(kg: KG, g: Group, hidden: frozenset = frozenset()) -> DataFrame:
 
     spark = kg.spo.sparkSession
     _sym = (PlusPath, StarPath, OptPath)
-    plain = [t for t in g.patterns if not isinstance(t[1], _sym)]
+    plain = [t for t in g.patterns if isinstance(t[1], str)]
     closures = [t for t in g.patterns if isinstance(t[1], _sym)]
+    negsets = [t for t in g.patterns if isinstance(t[1], NegSet)]
     df = bgp_mod.bgp(kg, plain) if plain else None
     for s, pp, o in closures:
         df = _join_path(kg, df, s, pp, o)
+    for s, ns, o in negsets:
+        df = _join_negset(kg, df, s, ns, o)
     for subq in g.subqueries:
         # a subquery is just another solution relation: evaluate it
         # bottom-up (its own projection/aggregation/modifiers) and join on

@@ -424,6 +424,34 @@ def test_path_grouped_combo(kg, golden_oracle):
     assert sorted((r["c"], r["x"]) for r in rows) == expected
 
 
-def test_path_plus_rejects_complex_inner():
-    with pytest.raises(ValueError, match="path '\\+'"):
-        parse("SELECT ?a { ?a (<http://p>/<http://q>)+ ?b }")
+def test_path_plus_composite_inner(kg, golden_oracle):
+    """(p/p)+ — closure over a composite inner: the edge relation is the
+    BGP-compiled 2-step sequence, iterated semi-naively on string pairs
+    (even-length prev-chains)."""
+    edges = {s: o for s, _, o in golden_oracle.pattern(None, rules.P_PREV, None)}
+    e2 = {a: edges[b] for a, b in edges.items() if b in edges}
+    pairs = set()
+    for start in e2:
+        cur = start
+        while cur in e2:
+            cur = e2[cur]
+            pairs.add((start, cur))
+    assert pairs, "need a chain of depth >= 2"
+    rows = sparql.query(
+        kg, f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>/<{rules.P_PREV}>)+ ?b }}"
+    ).collect()
+    assert {(r["a"], r["b"]) for r in rows} == pairs
+    # seeded composite closure (bound start)
+    start = next(iter(e2))
+    got = {r["b"] for r in sparql.query(
+        kg, f"SELECT ?b {{ <{start}> (<{rules.P_PREV}>/<{rules.P_PREV}>)+ ?b }}"
+    ).collect()}
+    assert got == {b for a, b in pairs if a == start}
+
+
+def test_path_nested_closure_inside_closure_rejected(kg):
+    """A closure nested inside another closure's composite inner is the
+    declared unsupported corner — fail-loud at evaluation."""
+    with pytest.raises(ValueError, match="nested closure"):
+        sparql.query(
+            kg, "SELECT ?a { ?a (<http://p>+/<http://q>)+ ?b }").collect()

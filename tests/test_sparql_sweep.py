@@ -94,6 +94,24 @@ def _sorted_ents(o):
     return sorted(e for _, _, e in _mentions(o))
 
 
+def _prev2_step(o):
+    """One (prev/prev) 2-step edge set."""
+    edges = {s: oo for s, _, oo in o.pattern(None, rules.P_PREV, None)}
+    return {(a, edges[b]) for a, b in edges.items() if b in edges}
+
+
+def _prev2_pairs(o):
+    """Transitive closure of the 2-step prev edges (even-length chains)."""
+    e2 = dict(_prev2_step(o))
+    pairs = set()
+    for start in e2:
+        cur = start
+        while cur in e2:
+            cur = e2[cur]
+            pairs.add((start, cur))
+    return pairs
+
+
 def _coment_pairs(o):
     """(a, b) entity pairs co-mentioned by some turn (the ^M/M path)."""
     by_turn: dict = {}
@@ -410,6 +428,29 @@ SWEEP = [
      lambda o: {(True,)}),
     ("path_star_paren", f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>)* ?b }}",
      lambda o: _prev_pairs(o) | {(n, n) for n in _nodes(o)}),
+    # negated property sets: edges whose predicate is NOT in the set;
+    # ^-entries apply to reversed edges; mixed sets union both arms
+    ("path_negset_single", f"SELECT ?s ?o {{ ?s !<{T}> ?o }}",
+     lambda o: {(oo, s) for s, p, oo in o.spo_str() if p != T}),
+    ("path_negset_multi", f"SELECT ?s ?o {{ ?s !(<{T}>|<{M}>) ?o }}",
+     lambda o: {(oo, s) for s, p, oo in o.spo_str() if p not in (T, M)}),
+    ("path_negset_inv", f"SELECT ?a ?b {{ ?a !(^<{M}>) ?b }}",
+     lambda o: {(oo, s) for s, p, oo in o.spo_str() if p != M}),
+    ("path_negset_mixed", f"SELECT ?a ?b {{ ?a !(<{M}>|^<{M}>) ?b }}",
+     lambda o: ({(s, oo) for s, p, oo in o.spo_str() if p != M}
+                | {(oo, s) for s, p, oo in o.spo_str() if p != M})),
+    ("path_negset_bound_s",
+     f"SELECT ?x {{ <{BASE}/conv/conv-7/t/0> !<{rules.P_TEXT}> ?x }}",
+     lambda o: {(oo,) for s, p, oo in o.spo_str()
+                if s == f"{BASE}/conv/conv-7/t/0" and p != rules.P_TEXT}),
+    # closure over a composite inner: (prev/prev)+ = even-length chains
+    ("path_composite_plus",
+     f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>/<{rules.P_PREV}>)+ ?b }}",
+     lambda o: _prev2_pairs(o)),
+    ("path_composite_opt",
+     f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>/<{rules.P_PREV}>)? ?b }}",
+     lambda o: ({(a, b) for a, b in _prev2_step(o)}
+                | {(n, n) for n in _nodes(o)})),
     # --- typed-literal numeric semantics (FILTER / ORDER BY by VALUE) -----
     ("f_numeric_gt",
      f"SELECT ?t ?n {{ ?t <{rules.P_INDEX}> ?n FILTER (?n > 3) }}",

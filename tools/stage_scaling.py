@@ -12,15 +12,19 @@ import subprocess
 import sys
 
 CODE = """
-import json, time
+import json, os, time
 from hdtspark.session import get_spark
 from hdtspark import extract, encode, bitmap_triples, synth
 from hdtspark.dict_builder import build_dict
 from pyspark import StorageLevel
 
 cores = {cores}
+# HDTSPARK_EXTRA_CONF: JSON dict of Spark conf overrides — the experiment
+# hook (codec choice, buffer sizes) so A/B runs need no code edits
 spark = get_spark(app_name='stage-scaling', master=f'local[{cores}]',
-                  shuffle_partitions=4 * {cores})
+                  shuffle_partitions=4 * {cores},
+                  extra_conf=json.loads(os.environ.get(
+                      'HDTSPARK_EXTRA_CONF', '{{}}')))
 # warmup on a small disjoint corpus
 w = synth.transcripts_df(spark, seed=7, n_conv=max({n_conv}//10, 200)).cache()
 w.count()
@@ -36,9 +40,13 @@ n_tri = tri.count(); t1 = time.monotonic(); out['extract'] = round(t1-t0, 2)
 d = build_dict(tri); t2 = time.monotonic(); out['dict'] = round(t2-t1, 2)
 spo = encode.encode_triples(tri, d).persist(StorageLevel.MEMORY_AND_DISK)
 n_spo = spo.count(); t3 = time.monotonic(); out['encode'] = round(t3-t2, 2)
-encode.ops_projection(spo).count(); encode.pso_projection(spo).count()
+# pass dict_bits exactly like pipeline.build_kg_from_triples does, so the
+# tool times the PACKED exchanges the real build runs
+bits = encode.dict_bits(d)
+encode.ops_projection(spo, bits=bits).count()
+encode.pso_projection(spo, bits=bits).count()
 t4 = time.monotonic(); out['projections'] = round(t4-t3, 2)
-bitmap_triples.adjacency(spo).count()
+bitmap_triples.adjacency(spo, bits=bits).count()
 t5 = time.monotonic(); out['adjacency'] = round(t5-t4, 2)
 out['total'] = round(t5-t0, 2); out['n_triples'] = n_spo; out['cores'] = {cores}
 print('RESULT ' + json.dumps(out))
