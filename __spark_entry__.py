@@ -520,6 +520,30 @@ def _q_sparql_numeric(spark, sf_dir):
         "ORDER BY ?n LIMIT 7"))
 
 
+def _q_sparql_builtins(spark, sf_dir):
+    """§2.5: SPARQL term builtins (round 5) — isIRI / IRI-constant
+    inequality in FILTER, STR + STRAFTER + IF + CONTAINS in BIND chains;
+    all evaluate as Catalyst expressions over canonical term strings
+    (reference delegates these to spareval, src/sparql.rs:45-83)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        "SELECT ?turn ?slug ?flag { "
+        f"?turn <{rules.P_MENTIONS}> ?ent . "
+        f"FILTER (isIRI(?ent) && ?ent != <{rules.BASE}/e/sql-table>) "
+        'BIND(STRAFTER(STR(?ent), "/e/") AS ?slug) '
+        'BIND(IF(CONTAINS(?slug, "spark"), "y", "n") AS ?flag) }'))
+
+
+def _q_sparql_sum(spark, sf_dir):
+    """§2.5: numeric aggregates (round 5) — SUM applies XSD numeric
+    semantics to typed-literal terms (non-numeric terms become NULL and
+    are skipped, per the SPARQL Aggregate error rule)."""
+    from hdtspark import sparql
+    return sparql.query(_kg(spark, sf_dir), (
+        f"SELECT ?c (SUM(?n) AS ?total) {{ ?c <{rules.P_HASTURN}> ?t . "
+        f"?t <{rules.P_INDEX}> ?n }} GROUP BY ?c"))
+
+
 def _q_mm_features(spark, sf_dir):
     from hdtspark import multimodal
     return multimodal.decode_features(multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -589,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_negset": _q_path_negset,
         "kg_path_composite_plus": _q_path_composite_plus,
         "kg_sparql_numeric": _q_sparql_numeric,
+        "kg_sparql_builtins": _q_sparql_builtins,
+        "kg_sparql_sum": _q_sparql_sum,
         # Training-data pipeline: deduplication
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
@@ -795,6 +821,22 @@ SELECT '{rules.BASE}/d/' || CAST(doc_id AS VARCHAR) AS d,
        '"' || CAST(doc_id AS VARCHAR) || '"^^<{rules.XSD_INTEGER}>' AS n
 FROM documents WHERE doc_id > 5 ORDER BY doc_id LIMIT 7
 """,
+        "kg_sparql_builtins": k(
+            f"SELECT s AS turn, "
+            f"substr(o, strpos(o, '/e/') + 3) AS slug, "
+            f"CASE WHEN contains(substr(o, strpos(o, '/e/') + 3), 'spark') "
+            f"THEN 'y' ELSE 'n' END AS flag "
+            f"FROM tri WHERE p = '{rules.P_MENTIONS}' "
+            f"AND o <> '{rules.BASE}/e/sql-table'"
+        ),
+        "kg_sparql_sum": k(
+            f"SELECT h.s AS c, "
+            f"SUM(CAST(regexp_extract(i.o, '^\"(.*)\"', 1) AS DOUBLE)) "
+            f"AS total "
+            f"FROM tri h JOIN tri i ON h.o = i.s "
+            f"WHERE h.p = '{rules.P_HASTURN}' AND i.p = '{rules.P_INDEX}' "
+            f"GROUP BY h.s"
+        ),
         "dd_exact": oracles.exact_dedup_oracle(),
         "dd_simhash": oracles.simhash_oracle(max_hamming=3),
         "dd_minhash": oracles.minhash_oracle(num_hashes=8, bands=4,

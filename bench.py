@@ -40,12 +40,33 @@ def main() -> None:
                       shuffle_partitions=cpus)
 
     times: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    trial_walls: dict[str, list[float]] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        times[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, trials=1, release=None):
+        """Time ``fn``; with trials=2 report the min (criterion-style).
+
+        The driver gate runs this bench once on a host with documented
+        2-3x effective-CPU drift (BENCH.md), and r4's single-trial gate
+        numbers contradicted quiet-host reruns by 10-65% on sub-second
+        queries (VERDICT r4 "What's wrong" #3).  Min-of-2 bounds the
+        damage one drift phase can do to any stage; every trial wall is
+        reported in ``trial_walls`` so the spread stays visible.
+        ``release`` tears down a trial's side effects (caches) so the
+        next trial re-runs the identical cold plan.  Stages whose first
+        run is semantically special (q_sp_cold's coldness, kg_enum's
+        cache materialization) keep trials=1.
+        """
+        out = None
+        walls = []
+        for i in range(trials):
+            if i and release is not None:
+                release(out)
+            t0 = time.monotonic()
+            out = fn()
+            walls.append(round(time.monotonic() - t0, 3))
+        times[name] = min(walls)
+        trial_walls[name] = walls
         return out
 
     # --- 0. JIT warmup: identical code paths, small disjoint inputs, so the
@@ -74,7 +95,8 @@ def main() -> None:
     transcripts = synth.transcripts_df(spark, seed=42, n_conv=n_conv).cache()
     n_turns = _count(transcripts)  # materialize input outside the timing
 
-    kg = timed("kg_build", lambda: _build_and_materialize(pipeline, transcripts))
+    kg = timed("kg_build", lambda: _build_and_materialize(pipeline, transcripts),
+               trials=2, release=lambda k: k.unpersist())
     n_triples = kg.stats["num_triples"]
     extra["n_turns"] = n_turns
     extra["n_triples"] = n_triples
@@ -91,18 +113,19 @@ def main() -> None:
     # its own stage: warm queries then filter the cached enumeration instead
     # of re-broadcasting the dictionary per action.
     timed("kg_enum", lambda: _count(kg.str_enum()))
-    timed("q_all", lambda: _count(query.triples_with_pattern(kg)))
-    timed("q_s", lambda: _count(query.triples_with_pattern(kg, s=s_const)))
-    timed("q_p", lambda: _count(query.triples_with_pattern(kg, p=rules.P_MENTIONS)))
-    timed("q_o", lambda: _count(query.triples_with_pattern(kg, o=rules.ent_iri("apache-spark"))))
-    timed("q_po", lambda: _count(query.triples_with_pattern(kg, p=rules.P_TYPE, o=rules.C_ENTITY)))
+    timed("q_all", lambda: _count(query.triples_with_pattern(kg)), trials=2)
+    timed("q_s", lambda: _count(query.triples_with_pattern(kg, s=s_const)), trials=2)
+    timed("q_p", lambda: _count(query.triples_with_pattern(kg, p=rules.P_MENTIONS)), trials=2)
+    timed("q_o", lambda: _count(query.triples_with_pattern(kg, o=rules.ent_iri("apache-spark"))), trials=2)
+    timed("q_po", lambda: _count(query.triples_with_pattern(kg, p=rules.P_TYPE, o=rules.C_ENTITY)), trials=2)
 
     kg.unpersist()
     transcripts.unpersist()
 
     # --- 3. documents-derived KG (driver-facing path) ---
     docs_kg = timed("kg_build_documents",
-                    lambda: _build_and_materialize(pipeline, entrymod._transcripts_from_documents(spark, sf_dir)))
+                    lambda: _build_and_materialize(pipeline, entrymod._transcripts_from_documents(spark, sf_dir)),
+                    trials=2, release=lambda k: k.unpersist())
     extra["n_triples_documents"] = docs_kg.stats["num_triples"]
     docs_kg.unpersist()
 
@@ -113,6 +136,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "trial_walls": trial_walls,
         **{k: v for k, v in extra.items()},
     }))
     spark.stop()

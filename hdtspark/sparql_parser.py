@@ -186,7 +186,14 @@ _SPARQL_FN = {
     "UCASE": "upper",
     "LCASE": "lower",
     "STRLEN": "length",
+    # SPARQL REPLACE is regex-based (fn:replace), unlike SQL replace
+    "REPLACE": "regexp_replace",
 }
+# SPARQL builtins that pass through UNCHANGED because the Spark SQL
+# function of the same name has matching semantics: IF, COALESCE, CONCAT,
+# SUBSTR (both 1-based), ABS, CEIL, FLOOR, ROUND, COUNT, MIN, MAX (term
+# order == SPARQL codepoint order for our canonical strings), YEAR, MONTH,
+# DAY.  No mapping entry needed — unknown words serialize verbatim.
 
 # XSD numeric datatypes whose typed literals get VALUE comparison semantics
 # in FILTER / ORDER BY (the XSD numeric promotion set)
@@ -233,6 +240,198 @@ def _num_sql(c: str) -> str:
             f"THEN try_cast(substring_index(substr({s}, 2), '\"', 1)"
             f" AS DOUBLE) END) "
             f"ELSE try_cast({c} AS DOUBLE) END)")
+
+
+def _sql_str(s: str) -> str:
+    """A Spark SQL single-quoted string literal holding ``s`` verbatim."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# -- term-inspection builtins over CANONICAL term strings -------------------
+# Canonical form (the dictionary's): IRIs bare, literals '"lex"' with an
+# optional '@lang' or '^^<dt>' suffix, blanks '_:name'.  Each builtin is a
+# pure Spark SQL rewrite over that encoding — JVM-side, no UDFs.  SPARQL
+# type errors (e.g. LANG of an IRI) surface as NULL, which drops the row in
+# FILTER — the spec's effective-boolean-value behavior.
+_LEX_RE = "'^\"(.*)\"'"                       # group 1 = literal lexical form
+_LANG_RE = "'@([A-Za-z0-9-]+)$'"              # group 1 = language tag
+_DT_RE = r"'\\^\\^<([^>]*)>$'"                # group 1 = datatype IRI
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _is_lit(a: str) -> str:
+    return f"substr({a}, 1, 1) = '\"'"
+
+
+def _t_str(a: list[str]) -> str:
+    return (f"(CASE WHEN {_is_lit(a[0])} "
+            f"THEN regexp_extract({a[0]}, {_LEX_RE}, 1) ELSE {a[0]} END)")
+
+
+def _t_lang(a: list[str]) -> str:
+    return (f"(CASE WHEN {_is_lit(a[0])} "
+            f"THEN regexp_extract({a[0]}, {_LANG_RE}, 1) END)")
+
+
+def _t_datatype(a: list[str]) -> str:
+    dt = f"regexp_extract({a[0]}, {_DT_RE}, 1)"
+    lang = f"regexp_extract({a[0]}, {_LANG_RE}, 1)"
+    return (f"(CASE WHEN {_is_lit(a[0])} THEN "
+            f"(CASE WHEN {dt} != '' THEN {dt} "
+            f"WHEN {lang} != '' THEN '{_RDF_LANGSTRING}' "
+            f"ELSE '{_XSD_STRING}' END) END)")
+
+
+def _t_lang_matches(a: list[str]) -> str:
+    tag, rng = a[0], a[1]
+    return (f"(CASE WHEN {rng} = '*' THEN {tag} != '' "
+            f"ELSE lower({tag}) = lower({rng}) "
+            f"OR startswith(lower({tag}), concat(lower({rng}), '-')) END)")
+
+
+def _t_strbefore(a: list[str]) -> str:
+    s, m = a[0], a[1]
+    return (f"(CASE WHEN instr({s}, {m}) > 0 "
+            f"THEN substr({s}, 1, instr({s}, {m}) - 1) ELSE '' END)")
+
+
+def _t_strafter(a: list[str]) -> str:
+    s, m = a[0], a[1]
+    return (f"(CASE WHEN instr({s}, {m}) > 0 "
+            f"THEN substr({s}, instr({s}, {m}) + length({m})) ELSE '' END)")
+
+
+def _num_agg(fn: str):
+    """SUM/AVG apply XSD numeric semantics to each term (non-numeric terms
+    become NULL and are ignored by the aggregate, per SPARQL's
+    error-skipping Aggregate definition)."""
+    def t(a: list[str]) -> str:
+        arg = a[0]
+        distinct = ""
+        if arg.upper().startswith("DISTINCT "):
+            distinct, arg = "DISTINCT ", arg[len("DISTINCT "):]
+        return f"{fn}({distinct}{_num_sql(arg)})"
+    return t
+
+
+# builtin -> (min_args, max_args, template) — expanded by _expand_templates
+_TEMPLATE_FN: dict = {
+    "STR": (1, 1, _t_str),
+    "LANG": (1, 1, _t_lang),
+    "DATATYPE": (1, 1, _t_datatype),
+    "LANGMATCHES": (2, 2, _t_lang_matches),
+    "BOUND": (1, 1, lambda a: f"({a[0]} IS NOT NULL)"),
+    "SAMETERM": (2, 2, lambda a: f"({a[0]} = {a[1]})"),
+    "ISLITERAL": (1, 1, lambda a: f"({_is_lit(a[0])})"),
+    "ISBLANK": (1, 1, lambda a: f"(substr({a[0]}, 1, 2) = '_:')"),
+    "ISIRI": (1, 1, lambda a: (
+        f"(CASE WHEN {a[0]} IS NOT NULL THEN NOT {_is_lit(a[0])} "
+        f"AND substr({a[0]}, 1, 2) != '_:' END)")),
+    "ISNUMERIC": (1, 1, lambda a: f"({_num_sql(a[0])} IS NOT NULL)"),
+    "STRBEFORE": (2, 2, _t_strbefore),
+    "STRAFTER": (2, 2, _t_strafter),
+    "SUM": (1, 1, _num_agg("sum")),
+    "AVG": (1, 1, _num_agg("avg")),
+    # deterministic witness: min is a valid SAMPLE and reproducible
+    "SAMPLE": (1, 1, lambda a: f"min({a[0]})"),
+}
+_TEMPLATE_FN["ISURI"] = _TEMPLATE_FN["ISIRI"]
+
+
+def _numeric_rewrite(parts: list[tuple]) -> list[tuple]:
+    """var CMP numeric-constant (either side) -> XSD numeric comparison."""
+    out = [sql for _, sql, _ in parts]
+    for i, (k, _, _) in enumerate(parts):
+        if k != "cmp" or not 0 < i < len(parts) - 1:
+            continue
+        (lk, lsql, _), (rk, _, ralt) = parts[i - 1], parts[i + 1]
+        if lk == "var" and rk == "num":
+            out[i - 1] = _num_sql(lsql)
+            out[i + 1] = ralt
+        elif lk == "num" and rk == "var":
+            out[i - 1] = parts[i - 1][2]
+            out[i + 1] = _num_sql(parts[i + 1][1])
+    return [(k, o, alt) for (k, _, alt), o in zip(parts, out)]
+
+
+def _split_args(inner: list[tuple]) -> list[list[tuple]]:
+    """Split a template call's body at top-level commas (and GROUP_CONCAT's
+    ';' — same separator level)."""
+    args: list[list[tuple]] = []
+    cur: list[tuple] = []
+    depth = 0
+    for p in inner:
+        if p[1] == "(":
+            depth += 1
+        elif p[1] == ")":
+            depth -= 1
+        if depth == 0 and p[1] in (",", ";"):
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(p)
+    if cur or args:
+        args.append(cur)
+    return args
+
+
+def _expand_templates(parts: list[tuple]) -> list[tuple]:
+    """Expand _TEMPLATE_FN / GROUP_CONCAT calls into single SQL tokens.
+
+    Args are recursively expanded and get their own numeric-comparison
+    rewrite (so e.g. ``IF(?x > 5, ...)`` compares numerically inside the
+    template too)."""
+    out: list[tuple] = []
+    i = 0
+    while i < len(parts):
+        k, sql, _ = parts[i]
+        is_tfn = k == "tfn"
+        if is_tfn and not (i + 1 < len(parts) and parts[i + 1][1] == "("):
+            raise ValueError(f"builtin {sql} needs an argument list")
+        if is_tfn:
+            depth, j = 0, i + 1
+            while True:
+                if j >= len(parts):
+                    raise ValueError(f"unbalanced ( after {sql}")
+                if parts[j][1] == "(":
+                    depth += 1
+                elif parts[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            raw_args = _split_args(_expand_templates(parts[i + 2:j]))
+            args = [" ".join(p[1] for p in _numeric_rewrite(a)).strip()
+                    for a in raw_args]
+            if sql == "GROUP_CONCAT":
+                out.append(("tok", _group_concat_sql(args), None))
+            else:
+                lo, hi, tmpl = _TEMPLATE_FN[sql]
+                if not lo <= len(args) <= hi:
+                    raise ValueError(
+                        f"{sql} takes {lo}-{hi} args, got {len(args)}")
+                out.append(("tok", tmpl(args), None))
+            i = j + 1
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
+def _group_concat_sql(args: list[str]) -> str:
+    """GROUP_CONCAT(expr [; SEPARATOR = "s"]) — concatenation in SORTED
+    term order: SPARQL leaves the order implementation-defined, and sorted
+    is the deterministic choice a distributed engine can reproduce."""
+    sep = "' '"
+    if len(args) == 2:
+        m = re.match(r"(?i)^SEPARATOR\s*=\s*(.+)$", args[1])
+        if not m:
+            raise ValueError(f"bad GROUP_CONCAT modifier: {args[1]!r}")
+        sep = m.group(1).strip()
+    elif len(args) != 1:
+        raise ValueError("GROUP_CONCAT takes expr [; SEPARATOR = lit]")
+    return f"array_join(sort_array(collect_list({args[0]})), {sep})"
 
 
 class _Parser:
@@ -509,8 +708,19 @@ class _Parser:
                     v = f"'{body}'" + v[body_end + 1:]
                 parts.append(("num" if numval is not None else "tok",
                               v, numval))
+            elif k == "iri":
+                # IRI constant in an expression -> the canonical term string
+                # (bare IRI) as a SQL string literal, so FILTER(?x = <iri>)
+                # compares against the solution column's encoding
+                parts.append(("tok", _sql_str(self._resolve_iri(v)), None))
             elif k == "word" and v.upper() in _SPARQL_FN:
                 parts.append(("tok", _SPARQL_FN[v.upper()], None))
+            elif k == "word" and (v.upper() in _TEMPLATE_FN
+                                  or v.upper() == "GROUP_CONCAT"):
+                parts.append(("tfn", v.upper(), None))
+            elif k == "pname":
+                # prefixed name constant -> canonical IRI string literal
+                parts.append(("tok", _sql_str(self.term("pname", v)), None))
             elif k == "dot":
                 parts.append(("tok", ".", None))
             elif k == "other":
@@ -529,19 +739,9 @@ class _Parser:
                     parts.append(("tok", v, None))
             else:
                 parts.append(("tok", v, None))
-        # rewrite pass: var CMP numeric-constant (either side) -> numeric
-        out = [sql for _, sql, _ in parts]
-        for i, (k, _, _) in enumerate(parts):
-            if k != "cmp" or not 0 < i < len(parts) - 1:
-                continue
-            (lk, lsql, _), (rk, _, ralt) = parts[i - 1], parts[i + 1]
-            if lk == "var" and rk == "num":
-                out[i - 1] = _num_sql(lsql)
-                out[i + 1] = ralt
-            elif lk == "num" and rk == "var":
-                out[i - 1] = parts[i - 1][2]
-                out[i + 1] = _num_sql(parts[i + 1][1])
-        return " ".join(out), var
+        # rewrite passes: builtin templates, then var CMP numeric-constant
+        parts = _numeric_rewrite(_expand_templates(parts))
+        return " ".join(sql for _, sql, _ in parts), var
 
     def _group(self) -> list[Group]:
         """-> list of UNION arms, each a full (possibly nested) Group.

@@ -89,6 +89,45 @@ def test_parse_errors():
         parse("SELECT ?x { VALUES (?a ?b) { (<u>) } }")  # arity mismatch
 
 
+def test_builtin_serialization():
+    """Round-5 builtin library: templates expand to Catalyst SQL over
+    canonical term strings; IRI / prefixed-name constants in expressions
+    become SQL string literals of the canonical (bare-IRI) form."""
+    f = parse("SELECT ?x { ?x ?p ?o FILTER(?o = <http://e/a>) }").arms[0].filters[0]
+    assert f == "`o` = 'http://e/a'"
+    f = parse("PREFIX e: <http://e/> SELECT ?x { ?x ?p ?o "
+              "FILTER(?o IN (e:a, <http://e/b>)) }").arms[0].filters[0]
+    assert f == "`o` IN ( 'http://e/a' , 'http://e/b' )"
+    f = parse("SELECT ?x { ?x ?p ?o FILTER(BOUND(?o)) }").arms[0].filters[0]
+    assert f == "(`o` IS NOT NULL)"
+    f = parse("SELECT ?x { ?x ?p ?o FILTER(sameTerm(?x, ?o)) }").arms[0].filters[0]
+    assert f == "(`x` = `o`)"
+    f = parse("SELECT ?x { ?x ?p ?o FILTER(isBlank(?o)) }").arms[0].filters[0]
+    assert f == "(substr(`o`, 1, 2) = '_:')"
+    # STR strips literal armor, passes IRIs through
+    f = parse('SELECT ?x { ?x ?p ?o FILTER(STR(?o) = "hi") }').arms[0].filters[0]
+    assert "regexp_extract" in f and f.endswith("= 'hi'")
+    # numeric rewrite reaches INSIDE template arguments
+    f = parse("SELECT ?x { ?x ?p ?o FILTER(IF(?o > 3, true, false)) }").arms[0].filters[0]
+    assert "try_cast" in f and " 3 " in f
+    # GROUP_CONCAT: deterministic sorted order, custom separator
+    sel = parse('SELECT (GROUP_CONCAT(?v; SEPARATOR="|") AS ?s) '
+                "{ ?x ?p ?v }").select
+    assert sel == [("s", "array_join(sort_array(collect_list(`v`)), '|')")]
+    # SUM/AVG wrap the argument in XSD numeric projection
+    sel = parse("SELECT (SUM(?v) AS ?s) { ?x ?p ?v }").select
+    assert sel[0][0] == "s" and sel[0][1].startswith("sum((CASE")
+    sel = parse("SELECT (AVG(DISTINCT ?v) AS ?s) { ?x ?p ?v }").select
+    assert sel[0][1].startswith("avg(DISTINCT (CASE")
+    # arity errors are loud
+    with pytest.raises(ValueError):
+        parse("SELECT ?x { ?x ?p ?o FILTER(STRAFTER(?o)) }")
+    with pytest.raises(ValueError):
+        parse("SELECT ?x { ?x ?p ?o FILTER(BOUND(?o, ?x)) }")
+    with pytest.raises(ValueError):
+        parse('SELECT (GROUP_CONCAT(?v; SEP="x") AS ?s) { ?x ?p ?v }')
+
+
 def test_filter_comparison_and_logic(kg, golden_oracle):
     """FILTER with string comparison and && (delegated to Catalyst)."""
     mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)

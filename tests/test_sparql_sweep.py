@@ -88,6 +88,24 @@ def _spark_turns(o):
     return {s for s, _, e in _mentions(o) if "spark" in e}
 
 
+def _conv_turns(o):
+    """conv -> set of its turns, only convs whose turns carry an index."""
+    idx_turns = {t for t, _, _ in _idx(o)}
+    out: dict = {}
+    for c, _, t in _hasturn(o):
+        if t in idx_turns:
+            out.setdefault(c, set()).add(t)
+    return out
+
+
+def _turn_ents(o):
+    """turn -> set of mentioned entity IRIs."""
+    out: dict = {}
+    for s, _, e in _mentions(o):
+        out.setdefault(s, set()).add(e)
+    return out
+
+
 def _sorted_ents(o):
     """ALL mention objects in sorted order (multiset — ties collapse only
     in the final set compare, so LIMIT prefixes are deterministic)."""
@@ -477,6 +495,97 @@ SWEEP = [
     ("num_shorthand_object",
      f"SELECT ?t {{ ?t <{rules.P_INDEX}> 0 }}",
      lambda o: {(s,) for s, _, v in _idx(o) if v == 0}),
+    # --- expression constants: IRIs / prefixed names (round 5) -----------
+    ("f_eq_iri", f"SELECT ?t {{ ?t <{M}> ?e FILTER (?e = <{SPARK_E}>) }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("f_in_iris",
+     f"SELECT ?e {{ ?t <{M}> ?e FILTER (?e IN (<{SPARK_E}>, <{SQL_E}>)) }}",
+     lambda o: {(oo,) for _, _, oo in _mentions(o) if oo in (SPARK_E, SQL_E)}),
+    ("f_not_in",
+     f"SELECT ?e {{ ?t <{M}> ?e FILTER (?e NOT IN (<{SPARK_E}>)) }}",
+     lambda o: {(oo,) for _, _, oo in _mentions(o) if oo != SPARK_E}),
+    ("f_eq_pname", f"PREFIX e: <{BASE}/e/> "
+     f"SELECT ?t {{ ?t <{M}> ?e FILTER (?e = e:apache-spark) }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    # --- term-inspection builtins (round 5) ------------------------------
+    ("f_bound", f"SELECT ?t {{ ?t <{ROLE}> ?r . "
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool }} FILTER (BOUND(?tool)) }}",
+     lambda o: {(s,) for s, _, _ in _roles(o) if s in _tools(o)}),
+    ("f_not_bound", f"SELECT ?t {{ ?t <{ROLE}> ?r . "
+     f"OPTIONAL {{ ?t <{TOOL}> ?tool }} FILTER (!BOUND(?tool)) }}",
+     lambda o: {(s,) for s, _, _ in _roles(o) if s not in _tools(o)}),
+    ("f_str_of_literal", f'SELECT ?t {{ ?t <{ROLE}> ?r '
+     f'FILTER (STR(?r) = "user") }}',
+     lambda o: {(s,) for s, _, r in _roles(o) if r == '"user"'}),
+    ("f_str_of_iri", f'SELECT ?t {{ ?t <{M}> ?e '
+     f'FILTER (STR(?e) = "{SPARK_E}") }}',
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("f_lang_empty", f'SELECT ?t {{ ?t <{ROLE}> ?r FILTER (LANG(?r) = "") }}',
+     lambda o: {(s,) for s, _, _ in _roles(o)}),
+    ("f_datatype_integer", f"SELECT ?n {{ ?t <{rules.P_INDEX}> ?n "
+     f"FILTER (DATATYPE(?n) = <{rules.XSD_INTEGER}>) }}",
+     lambda o: {(lit,) for _, lit, _ in _idx(o)}),
+    ("f_datatype_plain_is_string",
+     f"SELECT ?r {{ ?t <{ROLE}> ?r "
+     f"FILTER (DATATYPE(?r) = <http://www.w3.org/2001/XMLSchema#string>) }}",
+     lambda o: {(r,) for _, _, r in _roles(o)}),
+    ("f_isliteral", f"SELECT ?o {{ <{BASE}/conv/conv-7/t/0> ?p ?o "
+     f"FILTER (isLiteral(?o)) }}",
+     lambda o: {(oo,) for s, _, oo in o.spo_str()
+                if s == f"{BASE}/conv/conv-7/t/0" and oo.startswith('"')}),
+    ("f_isiri", f"SELECT ?o {{ <{BASE}/conv/conv-7/t/0> ?p ?o "
+     f"FILTER (isIRI(?o)) }}",
+     lambda o: {(oo,) for s, _, oo in o.spo_str()
+                if s == f"{BASE}/conv/conv-7/t/0"
+                and not oo.startswith('"') and not oo.startswith("_:")}),
+    ("f_isblank_ask", f"ASK {{ ?s ?p ?o FILTER (isBlank(?o)) }}",
+     lambda o: {(any(oo.startswith("_:") for _, _, oo in o.spo_str()),)}),
+    ("f_isnumeric", f"SELECT ?o {{ <{BASE}/conv/conv-7/t/0> ?p ?o "
+     f"FILTER (isNumeric(?o)) }}",
+     lambda o: {(oo,) for s, _, oo in o.spo_str()
+                if s == f"{BASE}/conv/conv-7/t/0"
+                and oo.endswith(f"^^<{rules.XSD_INTEGER}>")}),
+    ("f_sameterm", f"SELECT ?t {{ ?t <{M}> ?e "
+     f"FILTER (sameTerm(?e, <{SPARK_E}>)) }}",
+     lambda o: {(s,) for s, _, oo in _mentions(o) if oo == SPARK_E}),
+    ("f_langmatches_star",
+     f'SELECT ?t {{ ?t <{ROLE}> ?r FILTER (langMatches(LANG(?r), "*")) }}',
+     lambda o: set()),   # plain literals: lang "" matches no range
+    # --- string builtins (round 5) ---------------------------------------
+    ("bind_strafter", f'SELECT DISTINCT ?slug {{ ?t <{M}> ?e . '
+     f'BIND(STRAFTER(STR(?e), "/e/") AS ?slug) }}',
+     lambda o: {(e.split("/e/", 1)[1],) for _, _, e in _mentions(o)}),
+    ("bind_strbefore", f'SELECT DISTINCT ?x {{ ?t <{ROLE}> ?r . '
+     f'BIND(STRBEFORE(STR(?r), "ser") AS ?x) }}',
+     lambda o: {((r[1:-1].split("ser")[0] if "ser" in r[1:-1] else ""),)
+                for _, _, r in _roles(o)}),
+    ("bind_replace", f'SELECT DISTINCT ?x {{ ?t <{M}> ?e . '
+     f'BIND(REPLACE(STR(?e), "[aeiou]", "") AS ?x) }}',
+     lambda o: {(__import__("re").sub("[aeiou]", "", e),)
+                for _, _, e in _mentions(o)}),
+    ("bind_if", f'SELECT DISTINCT ?e ?f {{ ?t <{M}> ?e . '
+     f'BIND(IF(CONTAINS(?e, "spark"), "y", "n") AS ?f) }}',
+     lambda o: {(e, "y" if "spark" in e else "n")
+                for _, _, e in _mentions(o)}),
+    ("proj_coalesce", f'SELECT ?t (COALESCE(?tool, "none") AS ?c) '
+     f"{{ ?t <{ROLE}> ?r OPTIONAL {{ ?t <{TOOL}> ?tool }} }}",
+     lambda o: {(_tools(o)[s] if s in _tools(o) else "none", s)
+                for s, _, _ in _roles(o)}),
+    # --- numeric / concat aggregates (round 5) ---------------------------
+    ("agg_sum_per_conv", f"SELECT ?c (SUM(?n) AS ?s) {{ "
+     f"?c <{rules.P_HASTURN}> ?t . ?t <{rules.P_INDEX}> ?n }} GROUP BY ?c",
+     lambda o: {(c, float(sum(v for t, _, v in _idx(o)
+                              if t in turns)))
+                for c, turns in _conv_turns(o).items()}),
+    ("agg_avg_all", f"SELECT (AVG(?n) AS ?a) {{ ?t <{rules.P_INDEX}> ?n }}",
+     lambda o: {(sum(v for _, _, v in _idx(o)) / len(_idx(o)),)}),
+    ("agg_group_concat", f"SELECT ?t (GROUP_CONCAT(?e; SEPARATOR=\",\") "
+     f"AS ?es) {{ ?t <{M}> ?e }} GROUP BY ?t",
+     lambda o: {(",".join(sorted(es)), t)
+                for t, es in _turn_ents(o).items()}),
+    ("agg_sample", f"SELECT ?t (SAMPLE(?e) AS ?one) {{ ?t <{M}> ?e }} "
+     f"GROUP BY ?t",
+     lambda o: {(min(es), t) for t, es in _turn_ents(o).items()}),
     # --- whitespace / syntax robustness ----------------------------------
     ("no_dots", f"SELECT ?t ?e {{ ?t <{M}> ?e }}",
      lambda o: {(e, t) for t, _, e in _mentions(o)}),
