@@ -24,7 +24,15 @@ import time
 def run_once(cores: int, n_conv: int, trials: int = 2) -> dict:
     """One pipeline run in a fresh JVM (subprocess) at local[cores]."""
     code = f"""
-import json, time
+import json, os, time
+
+# Memory scales WITH the cluster in the real criterion (4N executors carry
+# 4x aggregate RAM); a fixed heap across local[N] / local[4N] starves the
+# 4N side (4x the concurrent tasks competing for the same execution memory
+# and GC headroom) and reads as fake inefficiency.  4 GB/core mirrors a
+# typical executor shape (spark.executor.memory ~16g for 4 cores).
+os.environ.setdefault("HDTSPARK_DRIVER_MEM", f"{4 * cores}g")
+
 from hdtspark.session import get_spark
 from hdtspark import pipeline, synth
 

@@ -38,15 +38,68 @@ def dict_bits(d: FourSectDict) -> tuple[int, int, int]:
             (d.n_shared + d.n_objects).bit_length())
 
 
+def hashes_injective(d: FourSectDict) -> bool:
+    """True iff xxhash64 is collision-free over each of the dictionary's
+    three join key-spaces (subject space = shared∪subjects, object space =
+    shared∪objects, predicates).
+
+    One aggregation job over the (cached) dictionary — O(#terms), never
+    O(#triples).  Terms within a space are distinct by construction, so
+    injectivity ⇔ countDistinct(hash) == count(*) per space.  For 10^7
+    terms the collision odds are ~n²/2⁶⁵ ≈ 10⁻⁶; at 10⁹ terms ~3%, which
+    is why the check exists rather than trusting the hash blindly.
+    """
+    spaces = (
+        d.subj_global.select(F.lit("s").alias("_sp"), "term")
+        .unionAll(d.obj_global.select(F.lit("o").alias("_sp"), "term"))
+        .unionAll(d.predicates.select(F.lit("p").alias("_sp"), "term"))
+    )
+    rows = (
+        spaces.groupBy("_sp")
+        .agg(F.countDistinct(F.xxhash64("term")).alias("dh"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    return all(r["dh"] == r["n"] for r in rows)
+
+
 def encode_triples(triples_str: DataFrame, d: FourSectDict,
                    num_partitions: int | None = None) -> DataFrame:
     """(s,p,o string) -> deduplicated (s,p,o long) sorted by (s,p,o)."""
     n = num_partitions or int(
         triples_str.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    sd = d.subj_global.withColumnRenamed("term", "s").withColumnRenamed("id", "sid")
-    pd_ = d.predicates.withColumnRenamed("term", "p").withColumnRenamed("id", "pid")
-    od = d.obj_global.withColumnRenamed("term", "o").withColumnRenamed("id", "oid")
+    n_s = d.n_shared + d.n_subjects
+    n_o = d.n_shared + d.n_objects
+    # Above the broadcast cap the dict joins shuffle the FACT side — and a
+    # fact row is three URI/literal strings (~100-150 B).  Joining on
+    # xxhash64(term) instead carries 8-byte longs through both exchanges
+    # (~5x thinner rows), and shuffle volume is pure memory bandwidth, the
+    # contended resource that caps single-box N->4N scaling.  Exactness:
+    # every fact term is in the dictionary (it was built from these same
+    # triples), so if the hash is injective on the dict's key-space —
+    # checked above, one O(#terms) job — hash equality ⇔ term equality.
+    # On (astronomically rare) collision we fall back to string joins.
+    use_hash = (max(n_s, d.n_predicates, n_o) >= BROADCAST_DICT_MAX_TERMS
+                and hashes_injective(d))
+
+    if use_hash:
+        fact = triples_str.select(
+            F.xxhash64("s").alias("_hs"), F.xxhash64("p").alias("_hp"),
+            F.xxhash64("o").alias("_ho"))
+        sd = d.subj_global.select(F.xxhash64("term").alias("_hs"),
+                                  F.col("id").alias("sid"))
+        pd_ = d.predicates.select(F.xxhash64("term").alias("_hp"),
+                                  F.col("id").alias("pid"))
+        od = d.obj_global.select(F.xxhash64("term").alias("_ho"),
+                                 F.col("id").alias("oid"))
+        keys = ("_hp", "_hs", "_ho")
+    else:
+        fact = triples_str.select("s", "p", "o")
+        sd = d.subj_global.withColumnRenamed("term", "s").withColumnRenamed("id", "sid")
+        pd_ = d.predicates.withColumnRenamed("term", "p").withColumnRenamed("id", "pid")
+        od = d.obj_global.withColumnRenamed("term", "o").withColumnRenamed("id", "oid")
+        keys = ("p", "s", "o")
 
     # Broadcast each dict side while it fits comfortably in executor memory
     # (term counts are known exactly from the dict build, so the decision is
@@ -66,16 +119,16 @@ def encode_triples(triples_str: DataFrame, d: FourSectDict,
 
     # JOIN ORDER: p first.  The predicate dict is tiny (always broadcast,
     # no shuffle), so putting it first lets Catalyst prune the predicate
-    # IRI STRING before the s-join's exchange — shuffle 1 then carries
-    # (s, o, pid) instead of three term strings, and shuffle 2 (by o)
-    # carries (o, sid, pid): one string + two longs.  At 54M triples that
-    # is gigabytes off the contended memory channels (the measured 2->8
+    # key before the s-join's exchange — shuffle 1 then carries
+    # (s, o, pid) instead of three terms, and shuffle 2 (by o)
+    # carries (o, sid, pid).  In the string regime that keeps gigabytes of
+    # predicate IRIs off the contended memory channels (the measured 2->8
     # scaling limiter), for free.
     encoded = (
-        triples_str.select("s", "p", "o")
-        .join(side(pd_, d.n_predicates), "p")
-        .join(side(sd, d.n_shared + d.n_subjects), "s")
-        .join(side(od, d.n_shared + d.n_objects), "o")
+        fact
+        .join(side(pd_, d.n_predicates), keys[0])
+        .join(side(sd, n_s), keys[1])
+        .join(side(od, n_o), keys[2])
         .select(F.col("sid").alias("s"), F.col("pid").alias("p"),
                 F.col("oid").alias("o"))
     )

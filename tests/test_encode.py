@@ -77,3 +77,52 @@ def test_packed_exchange_matches_unpacked(spark):
                                   ["o", "p", "s"], bits, 4, dedup=False)
     assert [tuple(r) for r in ops.collect()] == \
         sorted({(o, p, s) for s, p, o in rows})
+
+
+def test_hash_key_encode_matches_string_path(kg, monkeypatch):
+    """Forcing the big-dict regime (broadcast cap = 1) routes the encode
+    joins through xxhash64 keys; the result must be byte-identical to the
+    broadcast string-join path, and the join exchanges must carry ONLY the
+    8-byte hash keys (no term strings on the contended shuffle)."""
+    from hdtspark import encode
+
+    monkeypatch.setattr(encode, "BROADCAST_DICT_MAX_TERMS", 1)
+    hashed = encode.encode_triples(kg.triples_str, kg.dict)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    hash_key_lines = 0
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" not in line:
+            continue
+        keys = re.search(r"hashpartitioning\(([^)]*)\)", line).group(1)
+        # no join exchange may carry a raw term-string key (the extract
+        # stage's own upstream exchange on conv/turn columns is fine)
+        assert not re.match(r"[spo]#\d+", keys.strip()), line
+        if re.match(r"_h[spo]#\d+", keys.strip()):
+            hash_key_lines += 1
+    assert hash_key_lines >= 2, plan
+    assert [tuple(r) for r in hashed.collect()] == \
+        [tuple(r) for r in kg.spo.collect()]
+
+
+def test_hash_collision_falls_back_to_string_joins(kg, monkeypatch):
+    """If xxhash64 ever collides inside a dictionary key-space, the encode
+    must silently take the exact string-join path."""
+    from hdtspark import encode
+
+    monkeypatch.setattr(encode, "BROADCAST_DICT_MAX_TERMS", 1)
+    monkeypatch.setattr(encode, "hashes_injective", lambda d: False)
+    out = encode.encode_triples(kg.triples_str, kg.dict)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in kg.spo.collect()]
+
+
+def test_hashes_injective_on_golden_dict(kg):
+    from hdtspark import encode
+
+    assert encode.hashes_injective(kg.dict)
