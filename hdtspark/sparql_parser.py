@@ -25,10 +25,12 @@ Grammar (case-insensitive keywords)::
 
 FILTER expressions are re-serialized to Spark SQL (?var -> `var`,
 REGEX -> regexp_like, STRSTARTS/STRENDS/CONTAINS/UCASE/LCASE/STRLEN,
-&&/||/! -> AND/OR/NOT) and evaluated by Catalyst per UNION arm.  Caveat:
-comparisons operate on the canonical TERM STRINGS (typed-literal semantics
-are the full engine's job — the reference delegates them to spareval the
-same way, src/sparql.rs:45-83).
+&&/||/! -> AND/OR/NOT) and evaluated by Catalyst per UNION arm.
+Comparisons against a numeric constant (bare numeral or xsd-numeric typed
+literal) apply XSD VALUE semantics via a try_cast of the lexical form
+(_numeric_rewrite); all other comparisons operate on the canonical term
+strings — the subset boundary the reference reaches by delegating to
+spareval (src/sparql.rs:45-83).
 """
 
 from __future__ import annotations
@@ -551,7 +553,10 @@ class _Parser:
                          describe=describe)
         else:
             self.expect_word("SELECT")
-            if self.at_word("DISTINCT"):
+            # REDUCED permits any duplicate multiplicity between none and
+            # DISTINCT (W3C 18.2.5.2.2); evaluating it AS DISTINCT is a
+            # conformant choice and the deterministic one.
+            if self.at_word("DISTINCT") or self.at_word("REDUCED"):
                 self.next()
                 distinct = True
             select = self._select_list()
@@ -571,7 +576,7 @@ class _Parser:
         its own solution modifiers; the caller consumes the closing brace."""
         self.expect_word("SELECT")
         distinct = False
-        if self.at_word("DISTINCT"):
+        if self.at_word("DISTINCT") or self.at_word("REDUCED"):
             self.next()
             distinct = True
         select = self._select_list()

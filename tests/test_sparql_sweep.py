@@ -599,6 +599,8 @@ SWEEP = [
      lambda o: {(s,) for s, _, e in _mentions(o) if "spark" in e}),
     ("where_keyword", f"SELECT ?t WHERE {{ ?t <{M}> ?e }}",
      lambda o: {(s,) for s, _, _ in _mentions(o)}),
+    ("reduced", f"SELECT REDUCED ?e {{ ?t <{M}> ?e }}",
+     lambda o: {(e,) for _, _, e in _mentions(o)}),
     ("case_insensitive_kw",
      f"select ?t where {{ ?t <{M}> ?e }} order by ?t limit 2",
      lambda o: {(t,) for t in

@@ -13,6 +13,8 @@ import sys
 
 CODE = """
 import json, os, time
+# heap scales with cores, matching bench_scaling's protocol (4 GB/core)
+os.environ.setdefault("HDTSPARK_DRIVER_MEM", str({cores} * 4) + "g")
 from hdtspark.session import get_spark
 from hdtspark import extract, encode, bitmap_triples, synth
 from hdtspark.dict_builder import build_dict
