@@ -172,7 +172,7 @@ class Materializer:
 
 
 def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
-                   use_pandas_udf: bool = True) -> tuple[KG, Materializer]:
+                   use_pandas_udf: bool = False) -> tuple[KG, Materializer]:
     """Run (or resume) the full pipeline, stage by stage, into ``warehouse``.
 
     Stages: triples_str -> dict -> spo -> ops -> pso -> adj -> metrics.
@@ -207,7 +207,8 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
         mat.write_stage(
             "dict", d.sections_clustered(), tri_fp,
             extra={"n_shared": d.n_shared, "n_subjects": d.n_subjects,
-                   "n_predicates": d.n_predicates, "n_objects": d.n_objects},
+                   "n_predicates": d.n_predicates, "n_objects": d.n_objects,
+                   "max_raw_subj_degree": d.max_raw_subj_degree},
         )
         # The stage is now durable parquet; release the build-time dict's
         # persisted ids table AND its ranked-terms input cache (deps) before
@@ -228,6 +229,10 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
         n_subjects=dict_manifest["n_subjects"],
         n_predicates=dict_manifest["n_predicates"],
         n_objects=dict_manifest["n_objects"],
+        # recorded at dict-build time: resume reuses the recorded value, so
+        # the adjacency salt decision is identical across runs (no
+        # re-sampling; VERDICT r5 #6)
+        max_raw_subj_degree=dict_manifest.get("max_raw_subj_degree"),
     )
 
     dict_fp = tri_fp + ":" + mat.read_manifest("dict").get(
@@ -240,13 +245,19 @@ def materialize_kg(spark: SparkSession, transcripts: DataFrame, warehouse: str,
 
     spo_fp = mat.read_manifest("spo").get("content_fingerprint", f"{dict_fp}->spo")
     bits = encode.dict_bits(d)
-    for stage, builder in [
-        ("ops", lambda: encode.ops_projection(spo, bits=bits)),
-        ("pso", lambda: encode.pso_projection(spo, bits=bits)),
-        ("adj", lambda: bitmap_triples.adjacency(spo, bits=bits)),
+    salt = bitmap_triples.salt_buckets_for(d.max_raw_subj_degree)
+    for stage, builder, extra in [
+        ("ops", lambda: encode.ops_projection(spo, bits=bits), None),
+        ("pso", lambda: encode.pso_projection(spo, bits=bits), None),
+        ("adj", lambda: bitmap_triples.adjacency(spo, salt_buckets=salt,
+                                                 bits=bits),
+         {"salt_buckets": None if salt in (None, "auto") else salt,
+          "salt_decision_from": "dict_max_raw_subj_degree"
+          if salt != "auto" else "sample_probe",
+          "max_raw_subj_degree": d.max_raw_subj_degree}),
     ]:
         if not mat.stage_complete(stage, spo_fp):
-            mat.write_stage(stage, builder(), spo_fp)
+            mat.write_stage(stage, builder(), spo_fp, extra=extra)
         else:
             mat.write_stage(stage, None, spo_fp)
 

@@ -40,6 +40,12 @@ class FourSectDict:
     # materialization job of its own (ids materializes inside the first
     # consumer's job; one fewer sequential driver round per build)
     deps: tuple[DataFrame, ...] = ()
+    # Max raw (pre-dedup) subject degree, computed for free inside the
+    # ranking offsets pass: an upper bound on the true max degree, so the
+    # adjacency salt decision is an exact deterministic function of the
+    # build input instead of a per-run sample probe (one fewer job per
+    # build, and reruns/resume get byte-identical plans).
+    max_raw_subj_degree: int | None = None
 
     def unpersist(self) -> None:
         if self.ids is not None:
@@ -118,8 +124,12 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
         )
         .select("t.*")
         .groupBy("term")
+        # sum(is_s) = the term's raw subject degree — a byproduct of the
+        # same map-side-combined pass, consumed by the adjacency salt
+        # decision (replaces a per-build sample-probe job)
         .agg(F.max("is_s").alias("is_s"), F.max("is_o").alias("is_o"),
-             F.max("is_p").alias("is_p"))
+             F.max("is_p").alias("is_p"),
+             F.sum("is_s").cast("long").alias("sdeg"))
     )
     # A term can be a predicate AND a subject/object: the reference numbers
     # predicates independently (four_sect_dict.rs:35-44), so emit the term
@@ -130,9 +140,11 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
         .otherwise("objects")
         .alias("section"),
         "term",
+        "sdeg",
     )
     p_terms = flags.filter(F.col("is_p") == 1).select(
-        F.lit("predicates").alias("section"), "term")
+        F.lit("predicates").alias("section"), "term",
+        F.lit(0).cast("long").alias("sdeg"))
     # Ranking reads its input 4x (count, boundary sample, offsets, final
     # pass); persist the distinct-terms table so the term-explode groupBy
     # above runs ONCE, not four times.
@@ -140,7 +152,12 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
 
     labeled = so_terms.unionAll(p_terms).persist(StorageLevel.MEMORY_AND_DISK)
 
-    ids, totals = dense_ids_grouped(labeled, "section", "term")
+    ids, totals, extras = dense_ids_grouped(
+        labeled, "section", "term",
+        extra_aggs={"max_sdeg": F.max("sdeg")})
+    max_sdeg = max((v for g, v in extras["max_sdeg"].items()
+                    if g in ("shared", "subjects") and v is not None),
+                   default=0)
     # The dictionary is the hot lookup structure: encode joins it three
     # times and every query filters it.  Persist the (small) table once —
     # recompute is deterministic (literal range buckets), so block loss is
@@ -166,4 +183,5 @@ def build_dict(triples_str: DataFrame) -> FourSectDict:
         n_objects=totals.get("objects", 0),
         ids=ids,
         deps=(labeled,),
+        max_raw_subj_degree=max_sdeg,
     )

@@ -48,7 +48,28 @@ def hashes_injective(d: FourSectDict) -> bool:
     injectivity ⇔ countDistinct(hash) == count(*) per space.  For 10^7
     terms the collision odds are ~n²/2⁶⁵ ≈ 10⁻⁶; at 10⁹ terms ~3%, which
     is why the check exists rather than trusting the hash blindly.
+
+    When the dict's single (section, term, id) table is available it is
+    scanned ONCE (hash each term once, explode section -> space
+    memberships); the three space unions each re-filtered that cache —
+    four scans and three hash evaluations for the shared section.
     """
+    if d.ids is not None:
+        sp_arr = (
+            F.when(F.col("section") == "shared",
+                   F.array(F.lit("s"), F.lit("o")))
+            .when(F.col("section") == "subjects", F.array(F.lit("s")))
+            .when(F.col("section") == "objects", F.array(F.lit("o")))
+            .otherwise(F.array(F.lit("p")))
+        )
+        spaces = d.ids.select(F.xxhash64("term").alias("_h"),
+                              F.explode(sp_arr).alias("_sp"))
+        rows = (
+            spaces.groupBy("_sp")
+            .agg(F.countDistinct("_h").alias("dh"), F.count("*").alias("n"))
+            .collect()
+        )
+        return all(r["dh"] == r["n"] for r in rows)
     spaces = (
         d.subj_global.select(F.lit("s").alias("_sp"), "term")
         .unionAll(d.obj_global.select(F.lit("o").alias("_sp"), "term"))
@@ -64,8 +85,20 @@ def hashes_injective(d: FourSectDict) -> bool:
 
 
 def encode_triples(triples_str: DataFrame, d: FourSectDict,
-                   num_partitions: int | None = None) -> DataFrame:
-    """(s,p,o string) -> deduplicated (s,p,o long) sorted by (s,p,o)."""
+                   num_partitions: int | None = None,
+                   deps_out: list[DataFrame] | None = None) -> DataFrame:
+    """(s,p,o string) -> deduplicated (s,p,o long) sorted by (s,p,o).
+
+    ``deps_out``: when given, the packed pre-exchange join output is
+    persisted and appended to the list (caller releases it — KG.unpersist
+    does).  Rationale (guide §2.4/§1): ``repartitionByRange`` runs a
+    RangePartitioner *sampling job* that executes its whole child once
+    before the exchange executes it again — without the persist the three
+    dictionary joins (the expensive part of the encode stage) run TWICE
+    per build.  Persisting the single packed 8-byte column makes the
+    sampling pass materialize it once (~n_triples × 8 B, columnar
+    compressed) and the exchange then re-reads the cache.
+    """
     n = num_partitions or int(
         triples_str.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
@@ -142,7 +175,13 @@ def encode_triples(triples_str: DataFrame, d: FourSectDict,
     # projection that preserves partitioning and order.
     bits = dict_bits(d)
     if sum(bits) <= 62:
-        return _packed_exchange(encoded, ["s", "p", "o"], bits, n)
+        return _packed_exchange(encoded, ["s", "p", "o"], bits, n,
+                                deps_out=deps_out)
+    if deps_out is not None:
+        from pyspark import StorageLevel
+
+        encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+        deps_out.append(encoded)
     return (
         encoded.repartitionByRange(n, "s", "p", "o")
         .dropDuplicates(["s", "p", "o"])
@@ -152,13 +191,18 @@ def encode_triples(triples_str: DataFrame, d: FourSectDict,
 
 def _packed_exchange(df: DataFrame, cols: list[str],
                      bits: tuple[int, int, int], n: int,
-                     dedup: bool = True) -> DataFrame:
+                     dedup: bool = True,
+                     deps_out: list[DataFrame] | None = None) -> DataFrame:
     """Range-partition + dedup + sort ``df`` through ONE packed bigint
     column; returns the original 3-column layout, sorted by ``cols``.
 
     ``bits`` are the field widths in (s, p, o) POSITION order regardless of
     ``cols`` order.  Non-overlapping fields make '+' a bitwise-or; ids are
     >= 1 and widths exact, so packing is collision-free and order-preserving.
+
+    ``deps_out``: persist the packed one-column input so the range
+    exchange's sampling job and the exchange itself share one computation
+    of ``df`` (see encode_triples) instead of executing it twice.
     """
     width = {"s": bits[0], "p": bits[1], "o": bits[2]}
     sh2 = width[cols[2]]
@@ -166,6 +210,11 @@ def _packed_exchange(df: DataFrame, cols: list[str],
     v = (F.shiftleft(F.col(cols[0]), sh1)
          + F.shiftleft(F.col(cols[1]), sh2) + F.col(cols[2]))
     packed = df.select(v.alias("_v"))
+    if deps_out is not None:
+        from pyspark import StorageLevel
+
+        packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
+        deps_out.append(packed)
     sorted_packed = packed.repartitionByRange(n, "_v")
     if dedup:
         sorted_packed = sorted_packed.dropDuplicates(["_v"])

@@ -13,7 +13,7 @@ from .dict_builder import build_dict
 from .query import KG
 
 
-def build_kg(transcripts: DataFrame, use_pandas_udf: bool = True,
+def build_kg(transcripts: DataFrame, use_pandas_udf: bool = False,
              cache: bool = True, with_adjacency: bool = True,
              cache_projections: bool = False) -> KG:
     """Run extract -> dict -> encode -> projections (+ adjacency)."""
@@ -42,7 +42,13 @@ def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
         triples_str = triples_str.persist(StorageLevel.DISK_ONLY)
 
     d = build_dict(triples_str)
-    spo = encode.encode_triples(triples_str, d)
+    # Persist the packed pre-exchange join output iff the raw triples are
+    # cached too (same lifecycle): the range exchange's sampling job and
+    # the exchange then share ONE execution of the three dictionary joins
+    # instead of two (encode.encode_triples docstring).
+    deps: list[DataFrame] = []
+    spo = encode.encode_triples(triples_str, d,
+                                deps_out=deps if cache else None)
     if cache:
         spo = spo.cache()
     bits = encode.dict_bits(d)
@@ -54,9 +60,15 @@ def build_kg_from_triples(triples_str: DataFrame, cache: bool = True,
         # adds real memory churn to build-only workloads.  (The durable
         # path materializes them as parquet instead — checkpoint.py.)
         ops, pso = ops.cache(), pso.cache()
-    adj = bitmap_triples.adjacency(spo, bits=bits) if with_adjacency else None
+    # Salt decision from the dict build's free degree statistic — no
+    # sample-probe job, and deterministic across reruns.
+    adj = (bitmap_triples.adjacency(
+        spo, salt_buckets=bitmap_triples.salt_buckets_for(
+            d.max_raw_subj_degree), bits=bits)
+        if with_adjacency else None)
 
-    return KG(dict=d, spo=spo, ops=ops, pso=pso, adj=adj, triples_str=triples_str)
+    return KG(dict=d, spo=spo, ops=ops, pso=pso, adj=adj,
+              triples_str=triples_str, build_deps=tuple(deps))
 
 
 def materialize(kg: KG) -> int:

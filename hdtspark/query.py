@@ -37,6 +37,9 @@ class KG:
     adj: DataFrame | None = None
     triples_str: DataFrame | None = None
     stats: dict = field(default_factory=dict)
+    # persisted build intermediates (the packed pre-exchange encode output)
+    # released with the KG — see encode.encode_triples(deps_out=...)
+    build_deps: tuple = ()
     # lazily-built, persisted string enumeration (see str_enum)
     _str_enum: DataFrame | None = field(default=None, repr=False)
 
@@ -66,7 +69,7 @@ class KG:
         documents-path build ran 3-9x slower purely from the accumulated
         memory footprint of earlier KGs' never-released caches."""
         for df in (self.triples_str, self.spo, self.ops, self.pso,
-                   self._str_enum):
+                   self._str_enum, *self.build_deps):
             if df is not None:
                 df.unpersist(blocking)
         self.dict.unpersist()
@@ -140,12 +143,19 @@ def ids_to_strings(kg: KG, ids: DataFrame) -> DataFrame:
 
     Each dict side is broadcast while its exact term count (known from the
     build) fits executor memory, so translation never shuffles the result
-    set; huge dictionaries fall back to shuffle joins with AQE.
+    set; huge dictionaries get a SHUFFLE_HASH hint instead of the default
+    sort-merge join (guide §3.1): the dict side is unique-per-id and
+    evenly sized, so a per-partition hash build is safe, and it removes
+    the two full sorts of the (potentially result-sized or dataset-sized)
+    ids side per join — AQE can still downgrade to a broadcast join at
+    runtime when the post-shuffle ids side turns out tiny.
     """
     from .encode import BROADCAST_DICT_MAX_TERMS
 
     def maybe_b(df: DataFrame, n_terms: int) -> DataFrame:
-        return F.broadcast(df) if n_terms < BROADCAST_DICT_MAX_TERMS else df
+        if n_terms < BROADCAST_DICT_MAX_TERMS:
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
 
     sd = maybe_b(kg.dict.subj_global.select(
         F.col("id").alias("s"), F.col("term").alias("s_term")),

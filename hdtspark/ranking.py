@@ -151,13 +151,21 @@ def dense_ids(df: DataFrame, col: str, num_partitions: int | None = None,
 
 def dense_ids_grouped(df: DataFrame, group_col: str, col: str,
                       num_partitions: int | None = None,
-                      id_col: str = "id") -> tuple[DataFrame, dict[str, int]]:
+                      id_col: str = "id",
+                      extra_aggs: dict[str, F.Column] | None = None,
+                      ) -> tuple[DataFrame, dict[str, int]]:
     """Per-group dense 1-based IDs by global sort order, one bucketed pass.
 
     Input: (group_col, col) distinct rows.  Output: (group_col, col, id_col)
     where id = 1 + rank of col within its group's global sort order, plus a
     {group: count} dict (free — derived from the offsets aggregation, saving
     one count() job per group).
+
+    ``extra_aggs``: optional {name: aggregate Column} evaluated per
+    (bucket, group) INSIDE the existing offsets collect, surfaced as a
+    third return value {name: {group: value}} — piggyback statistics
+    (e.g. max subject degree) ride the pass the builder already pays for
+    instead of a dedicated job.
 
     Used to build all four dictionary sections in a single bucketed shuffle
     instead of four (reference builds its four sections on four threads,
@@ -167,16 +175,25 @@ def dense_ids_grouped(df: DataFrame, group_col: str, col: str,
     """
     spark = df.sparkSession
     bucket = range_bucket(df, [group_col, col], num_partitions)
-    wb = df.select(group_col, col, bucket.alias("_b"))
-    raw = wb.groupBy("_b", group_col).agg(F.count("*").alias("_cnt")).collect()
+    wb = df.withColumn("_b", bucket)
+    aggs = [F.count("*").alias("_cnt")]
+    extra_names = list(extra_aggs) if extra_aggs else []
+    aggs += [extra_aggs[nm].alias(f"_x_{i}")
+             for i, nm in enumerate(extra_names)]
+    raw = wb.groupBy("_b", group_col).agg(*aggs).collect()
 
     totals: dict[str, int] = {}
+    extras: dict[str, dict] = {nm: {} for nm in extra_names}
     rows = []
     # offsets walk buckets in order per group: off = #rows of g in buckets < b
     for r in sorted(raw, key=lambda r: (r[group_col], r["_b"])):
         g = r[group_col]
         rows.append(((r["_b"], g), r["_cnt"]))
         totals[g] = totals.get(g, 0) + r["_cnt"]
+        for i, nm in enumerate(extra_names):
+            v = r[f"_x_{i}"]
+            prev = extras[nm].get(g)
+            extras[nm][g] = v if prev is None else max(prev, v)
     offsets, acc = [], {}
     for (b, g), cnt in rows:
         offsets.append((b, g, acc.get(g, 0)))
@@ -190,6 +207,10 @@ def dense_ids_grouped(df: DataFrame, group_col: str, col: str,
         .join(F.broadcast(offsets_df), ["_b", group_col])
         .select(group_col, col, (F.col("_off") + F.col("_rn")).alias(id_col))
     )
+    if extra_aggs:
+        # cross-bucket combine is max() — suits the monotone statistics
+        # (max degree) this hook exists for
+        return out, totals, extras
     return out, totals
 
 

@@ -194,11 +194,14 @@ def bgp_ids(kg: KG, patterns: list[tuple[str, str, str]]
 
 def _translate_vars(kg: KG, ids_df: DataFrame, space: dict[str, str]) -> DataFrame:
     """Translate each variable column to term strings ONCE, at the end,
-    against the dictionary of its ID space (broadcast below the cap)."""
+    against the dictionary of its ID space (broadcast below the cap;
+    SHUFFLE_HASH above it — see query.ids_to_strings)."""
     from .encode import BROADCAST_DICT_MAX_TERMS
 
     def maybe_b(df: DataFrame, n_terms: int) -> DataFrame:
-        return F.broadcast(df) if n_terms < BROADCAST_DICT_MAX_TERMS else df
+        if n_terms < BROADCAST_DICT_MAX_TERMS:
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
 
     d = kg.dict
     tables = {
