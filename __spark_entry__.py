@@ -563,6 +563,22 @@ def _q_mm_frames(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Front-loaded (VERDICT r5 next #3): the 11 rows the round-5
+        # 50-query gate rotated out (10 last verified in r4 +
+        # ann_bucketed_prod, never yet driver-verified) go FIRST so a
+        # 50-row gate covers the previously-unverified complement; the
+        # kg_*/dd_* rows below have been stable for three rounds.
+        "ann_topk": _q_ann_topk,
+        "ann_bucketed": _q_ann_bucketed,
+        "ann_bucketed_prod": _q_ann_bucketed_prod,
+        "ev_windowed": _q_ev_windowed,
+        "ev_top_users": _q_ev_top_users,
+        "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frames": _q_mm_frames,
+        "tx_quality": _q_tx_quality,
+        "tx_langid": _q_tx_langid,
+        "tx_fingerprint": _q_tx_fingerprint,
         # S3/S4 extraction (reference src/nt.rs:165-219)
         "kg_extract": _q_extract,
         # D4/D5 four-section dictionary (src/nt.rs:245-266, dict_sect_pfc.rs)
@@ -623,22 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _q_dd_simhash,
         "dd_embedding": _q_dd_embedding,
         "dd_embedding_prod": _q_dd_embedding_prod,
-        # Text analysis
+        # Text analysis (tx_quality/langid/fingerprint front-loaded above)
         "tx_tokens": _q_tx_tokens,
-        "tx_quality": _q_tx_quality,
-        "tx_langid": _q_tx_langid,
-        "tx_fingerprint": _q_tx_fingerprint,
-        # Similarity search over embeddings
-        "ann_topk": _q_ann_topk,
-        "ann_bucketed": _q_ann_bucketed,
-        "ann_bucketed_prod": _q_ann_bucketed_prod,
-        # Event-stream analytics (batch form of the streaming aggs)
-        "ev_windowed": _q_ev_windowed,
-        "ev_top_users": _q_ev_top_users,
-        # Multimodal plumbing (fake decode/resize/frame-sample, real Arrow path)
-        "mm_features": _q_mm_features,
-        "mm_resize": _q_mm_resize,
-        "mm_frames": _q_mm_frames,
     }
 
 

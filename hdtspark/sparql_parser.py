@@ -1116,10 +1116,10 @@ def _composite_pairs(kg: KG, node) -> DataFrame:
     """The edge relation of a composite path AST as STRING pairs (a, b).
 
     Each desugared alternative compiles through the ID-level BGP joiner
-    (``bgp`` — pruned projection scans, result-only translation); composite
-    endpoints may land in different ID spaces per alternative, so the
-    translated strings are the sound common denominator for the closure
-    iteration.  Built ONCE per closure (edge-relation-sized)."""
+    (``bgp`` — pruned projection scans, result-only translation).  Used by
+    the SINGLE-STEP composite arms (``(path)?``, both-bound probes), which
+    are edge-relation-sized anyway; closures iterate on global node IDs
+    instead (``_composite_pairs_ids``)."""
     from . import sparql as bgp_mod
 
     n = [0]
@@ -1143,13 +1143,108 @@ def _composite_pairs(kg: KG, node) -> DataFrame:
     return out.distinct()
 
 
-def _closure_pairs_str(kg: KG, base: DataFrame, seed: str | None = None,
+def _node_global_expr(col: str, space: str, n_shared: int, n_subj: int):
+    """Map an s-/o-/shared-space id column to the GLOBAL node-ID space.
+
+    Global ids: shared terms keep 1..n_shared, subject-only terms keep
+    n_shared+1..n_shared+n_subj, object-only ids shift up by n_subj — a
+    pure arithmetic bijection to term identity, so global-id equality ⇔
+    term equality with NO dictionary join and no shared-section guard.
+    """
+    if space in ("s", "shared"):
+        return F.col(col)
+    assert space == "o", space
+    return (F.when(F.col(col) <= n_shared, F.col(col))
+            .otherwise(F.col(col) + n_subj))
+
+
+def _composite_pairs_ids(kg: KG, node) -> DataFrame:
+    """The edge relation of a composite path AST as GLOBAL-node-ID pairs
+    (a, b) — 8-byte rows for the closure iteration (VERDICT r5 next #4:
+    the r5 composite closure iterated on canonical term strings, paying
+    ~10x-wider shuffles per step than the ids need).
+
+    Each desugared alternative compiles through the ID-level BGP joiner
+    (``bgp_ids`` — pruned projection scans, NO translation); its two
+    endpoint columns are then mapped into the global node-ID space, which
+    makes ids comparable across alternatives that bound the endpoints in
+    different ID spaces (e.g. a forward arm ending o-space unioned with an
+    inverse arm ending s-space).  Built ONCE per closure."""
+    from . import sparql as bgp_mod
+
+    spark = kg.spo.sparkSession
+    n_shared, n_subj = kg.dict.n_shared, kg.dict.n_subjects
+    n = [0]
+
+    def fresh() -> str:
+        n[0] += 1
+        return f"?__cp{n[0]}"
+
+    parts = []
+    for patterns in _desugar(node, "?__ca", "?__cb", fresh):
+        if any(not isinstance(p[1], str) for p in patterns):
+            raise ValueError(
+                "nested closure/negated set inside a closed path is not "
+                "supported")
+        compiled = bgp_mod.bgp_ids(kg, patterns)
+        if compiled is None:      # unknown constant: provably empty arm
+            continue
+        ids_df, space = compiled
+        parts.append(ids_df.select(
+            _node_global_expr("__ca", space["__ca"], n_shared, n_subj)
+            .alias("a"),
+            _node_global_expr("__cb", space["__cb"], n_shared, n_subj)
+            .alias("b")))
+    if not parts:
+        return spark.createDataFrame([], "a long, b long")
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.unionAll(other)
+    return out.distinct()
+
+
+def _node_global_dict(kg: KG) -> tuple[DataFrame, int]:
+    """(term, id) over the global node-ID space, with its term count."""
+    d = kg.dict
+    shift = d.n_shared + d.n_subjects
+    nd = d.subj_global.unionAll(
+        d.objects.select("term", (F.col("id") + shift).alias("id")))
+    return nd, shift + d.n_objects
+
+
+def _translate_node_global(kg: KG, ids_df: DataFrame) -> DataFrame:
+    """Translate every column of ``ids_df`` (global node ids) to term
+    strings — broadcast under the cap, SHUFFLE_HASH above it (same policy
+    as query.ids_to_strings)."""
+    from .encode import BROADCAST_DICT_MAX_TERMS
+
+    nd, n_terms = _node_global_dict(kg)
+    out = ids_df
+    for v in ids_df.columns:
+        tbl = nd.select(F.col("id").alias(v), F.col("term").alias(f"_t_{v}"))
+        tbl = (F.broadcast(tbl) if n_terms < BROADCAST_DICT_MAX_TERMS
+               else tbl.hint("shuffle_hash"))
+        out = out.join(tbl, v)
+    return out.select(*[F.col(f"_t_{v}").alias(v) for v in ids_df.columns])
+
+
+def _node_global_id(kg: KG, term: str) -> int | None:
+    """Term -> global node id (one point-filter job); None if absent."""
+    nd, _ = _node_global_dict(kg)
+    rows = nd.filter(F.col("term") == term).select("id").collect()
+    return rows[0]["id"] if rows else None
+
+
+def _closure_pairs_str(kg: KG, base: DataFrame,
+                       seed: str | int | None = None,
                        seed_on_a: bool = True,
                        max_iters: int | None = None) -> DataFrame:
-    """Semi-naive one-or-more closure over a STRING edge relation (a, b) —
-    the composite-path variant of ``_closure_pairs_ids`` (same frontier /
-    anti-join / localCheckpoint structure; see that docstring).  Unseeded ->
-    all pairs; seeded -> the reachable set as one column."""
+    """Semi-naive one-or-more closure over ANY (a, b) edge relation whose
+    values are node identities — global node IDs (8-byte rows; the
+    composite-closure path, _composite_pairs_ids) or term strings (same
+    frontier / anti-join / localCheckpoint structure as
+    ``_closure_pairs_ids``; see that docstring).  Unseeded -> all pairs;
+    seeded -> the reachable set as one column."""
     if max_iters is None:
         max_iters = CLOSURE_MAX_ITERS
     if seed is not None:
@@ -1220,21 +1315,37 @@ def _zero_rel(kg: KG, s: str, o: str) -> DataFrame:
 
 
 def _plus_rel_composite(kg: KG, s: str, node, o: str) -> DataFrame:
-    """``(composite)+`` closure relation with >=1 free endpoint, iterating
-    on the translated string pairs of the BGP-compiled edge relation."""
-    base = _composite_pairs(kg, node)
+    """``(composite)+`` closure relation with >=1 free endpoint.
+
+    The edge relation is BGP-compiled to GLOBAL node-ID pairs
+    (``_composite_pairs_ids``) and the semi-naive iteration runs on 8-byte
+    ids (global-id equality ⇔ term equality, so the per-step join needs no
+    guards); translation to term strings happens ONCE on the final
+    accumulator — the same shape as the simple-``p+`` ID closure
+    (VERDICT r5 next #4)."""
+    base = _composite_pairs_ids(kg, node)
     s_var, o_var = s.startswith("?"), o.startswith("?")
     if s_var and o_var:
         pairs = _closure_pairs_str(kg, base)
         if s == o:
-            return (pairs.filter(F.col("a") == F.col("b"))
-                    .select(F.col("a").alias(s[1:])))
-        return pairs.select(F.col("a").alias(s[1:]), F.col("b").alias(o[1:]))
+            ids = (pairs.filter(F.col("a") == F.col("b"))
+                   .select(F.col("a").alias(s[1:])))
+            return _translate_node_global(kg, ids)
+        return _translate_node_global(
+            kg, pairs.select(F.col("a").alias(s[1:]),
+                             F.col("b").alias(o[1:])))
     if o_var:
-        return (_closure_pairs_str(kg, base, seed=s, seed_on_a=True)
-                .select(F.col("b").alias(o[1:])))
-    return (_closure_pairs_str(kg, base, seed=o, seed_on_a=False)
-            .select(F.col("b").alias(s[1:])))
+        seed = _node_global_id(kg, s)
+        if seed is None:
+            return kg.spo.sparkSession.createDataFrame(
+                [], f"`{o[1:]}` string")
+        ids = _closure_pairs_str(kg, base, seed=seed, seed_on_a=True)
+        return _translate_node_global(kg, ids.select(F.col("b").alias(o[1:])))
+    seed = _node_global_id(kg, o)
+    if seed is None:
+        return kg.spo.sparkSession.createDataFrame([], f"`{s[1:]}` string")
+    ids = _closure_pairs_str(kg, base, seed=seed, seed_on_a=False)
+    return _translate_node_global(kg, ids.select(F.col("b").alias(s[1:])))
 
 
 def _plus_rel(kg: KG, s: str, iri: str, o: str) -> DataFrame:
@@ -1337,13 +1448,17 @@ def _path_hit(kg: KG, s: str, marker, o: str) -> bool:
     if isinstance(marker, (StarPath, OptPath)) and s == o:
         if _node_exists(kg, s):
             return True
-    if marker.iri is None:   # composite inner: probe the string relation
-        base = _composite_pairs(kg, marker.node)
+    if marker.iri is None:   # composite inner
         if isinstance(marker, OptPath):
+            base = _composite_pairs(kg, marker.node)
             return (base.filter((F.col("a") == s) & (F.col("b") == o))
                     .limit(1).count()) > 0
-        return (_closure_pairs_str(kg, base, seed=s, seed_on_a=True)
-                .filter(F.col("b") == o).limit(1).count()) > 0
+        sid_g, oid_g = _node_global_id(kg, s), _node_global_id(kg, o)
+        if sid_g is None or oid_g is None:
+            return False
+        return (_closure_pairs_str(kg, _composite_pairs_ids(kg, marker.node),
+                                   seed=sid_g, seed_on_a=True)
+                .filter(F.col("b") == oid_g).limit(1).count()) > 0
     if isinstance(marker, OptPath):
         return (triples_with_pattern(kg, s=s, p=marker.iri, o=o)
                 .limit(1).count()) > 0

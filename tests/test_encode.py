@@ -126,3 +126,51 @@ def test_hashes_injective_on_golden_dict(kg):
     from hdtspark import encode
 
     assert encode.hashes_injective(kg.dict)
+
+
+def test_hash_collision_fallback_produces_identical_spo(kg, monkeypatch):
+    """VERDICT r5 next #7: when the injectivity certificate FAILS (a
+    simulated xxhash64 collision on the dict key-space — real 64-bit
+    collisions are not constructible in a test), encode_triples must take
+    the string-join fallback and produce byte-identical SPO output.
+
+    Forces the hash-regime decision on the golden dict by dropping the
+    broadcast cap, then flips the certificate both ways."""
+    from hdtspark import encode as enc
+
+    monkeypatch.setattr(enc, "BROADCAST_DICT_MAX_TERMS", 1)
+
+    # hash regime: certificate passes -> xxhash64 join keys in the plan
+    monkeypatch.setattr(enc, "hashes_injective", lambda d: True)
+    hash_df = enc.encode_triples(kg.triples_str, kg.dict)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hash_df.explain("formatted")
+    assert "xxhash64" in buf.getvalue()
+
+    # collision detected -> string-key fallback, no xxhash64 join keys
+    monkeypatch.setattr(enc, "hashes_injective", lambda d: False)
+    str_df = enc.encode_triples(kg.triples_str, kg.dict)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        str_df.explain("formatted")
+    assert "xxhash64" not in buf.getvalue()
+
+    assert (sorted(tuple(r) for r in hash_df.collect())
+            == sorted(tuple(r) for r in str_df.collect()))
+
+
+def test_hashes_injective_single_scan_matches_union_fallback(kg):
+    """The ids-table single-scan implementation and the per-space union
+    fallback (ids=None) must agree."""
+    from dataclasses import replace
+
+    from hdtspark import encode as enc
+
+    assert kg.dict.ids is not None
+    fast = enc.hashes_injective(kg.dict)
+    slow = enc.hashes_injective(replace(kg.dict, ids=None))
+    assert fast is True and slow is True

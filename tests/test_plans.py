@@ -182,6 +182,40 @@ def test_path_closure_iterates_on_ids(kg, tmp_path):
     assert rows and rows[0]["a"].startswith("http"), rows
 
 
+def test_composite_closure_iterates_on_ids(kg, tmp_path):
+    """VERDICT r5 next #4: the ``(a/b)+`` composite closure must iterate on
+    8-byte GLOBAL node-ID pairs — no `term` string column and no dictionary
+    join inside the loop; translation happens once on the final accumulator
+    (same lock style as test_path_closure_iterates_on_ids)."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from hdtspark import rules, sparql_parser
+
+    path = str(tmp_path / "pso")
+    kg.pso.write.parquet(path)
+    kg_mat = replace(kg, pso=kg.pso.sparkSession.read.parquet(path))
+
+    node = ("seq", ("iri", rules.P_PREV), ("iri", rules.P_PREV))
+    base = sparql_parser._composite_pairs_ids(kg_mat, node)
+    # per-step join exactly as _closure_pairs_str builds it (unseeded arm)
+    step = (base.select(F.col("a").alias("_fa"), F.col("b").alias("_n"))
+            .join(base, F.col("_n") == F.col("a"))
+            .select(F.col("_fa").alias("a"), "b").distinct())
+    assert all(isinstance(f.dataType, LongType) for f in step.schema.fields)
+    plan = _plan(step)
+    assert "term" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    # full evaluation still translates correctly at the end
+    rows = sparql_parser.query_df(
+        kg, f"SELECT ?a ?b {{ ?a (<{rules.P_PREV}>/<{rules.P_PREV}>)+ ?b }}"
+    ).limit(1).collect()
+    assert rows and rows[0]["a"].startswith("http"), rows
+
+
 def test_materialized_ops_scan_pushes_filters(spark, kg, tmp_path):
     path = str(tmp_path / "ops")
     kg.ops.write.parquet(path)
