@@ -169,6 +169,64 @@ def cmd_queries(spark, sf: float, out):
               lambda kw=kw: query.triples_with_pattern(kg, **kw).count(), out)
 
 
+def skew_triples(spark, n_total: int, hot_deg: int):
+    """Adversarially skewed graph (VERDICT r5 #8): ONE subject with
+    ``hot_deg`` distinct objects, and ~90% of all triples under ONE
+    predicate; the rest spread over many subjects/predicates."""
+    from pyspark.sql import functions as F
+
+    base = "http://skew.example"
+    hot = (spark.range(hot_deg).select(
+        F.lit(f"{base}/s/hot").alias("s"),
+        F.lit(f"{base}/p/hot").alias("p"),
+        F.concat(F.lit(f"{base}/o/"), F.col("id").cast("string")).alias("o")))
+    n_bg = n_total - hot_deg
+    bg = (spark.range(n_bg).select(
+        F.concat(F.lit(f"{base}/s/"), (F.col("id") % (n_bg // 8))
+                 .cast("string")).alias("s"),
+        # ~89% of background rows also use the hot predicate
+        F.when(F.col("id") % 9 != 0, F.lit(f"{base}/p/hot"))
+        .otherwise(F.concat(F.lit(f"{base}/p/"),
+                            (F.col("id") % 40).cast("string"))).alias("p"),
+        F.concat(F.lit(f"{base}/v/"), (F.col("id") % (n_bg // 4))
+                 .cast("string")).alias("o")))
+    return hot.unionAll(bg)
+
+
+def cmd_skew(spark, sf: float, out):
+    """Skewed-graph build: 10^6-degree hot subject + ~90%-mass hot
+    predicate.  Exercises the salted adjacency two-phase agg and the
+    (o, p)-ranged OPS projection under real skew; also times the UNSALTED
+    adjacency for contrast."""
+    from pyspark import StorageLevel
+
+    from hdtspark import bitmap_triples, encode, pipeline
+
+    n_total = int(10_000_000 * sf)
+    hot_deg = int(1_000_000 * sf)
+    tri = skew_triples(spark, n_total, hot_deg).persist(StorageLevel.DISK_ONLY)
+    print(f"skew corpus: {tri.count()} raw triples", flush=True)
+
+    kg = timed(spark, "skew_build_full",
+               lambda: pipeline.build_kg_from_triples(tri), out)
+    timed(spark, "skew_materialize", lambda: pipeline.materialize(kg), out)
+    print("max_raw_subj_degree:", kg.dict.max_raw_subj_degree, flush=True)
+    bits = encode.dict_bits(kg.dict)
+    timed(spark, "skew_adj_salted_noop",
+          lambda: noop(bitmap_triples.adjacency(
+              kg.spo, salt_buckets=16, bits=bits)), out)
+    timed(spark, "skew_adj_unsalted_noop",
+          lambda: noop(bitmap_triples.adjacency(
+              kg.spo, salt_buckets=None, bits=bits)), out)
+    timed(spark, "skew_ops_noop",
+          lambda: noop(encode.ops_projection(kg.spo, bits=bits)), out)
+    timed(spark, "skew_adj_chunked_noop",
+          lambda: noop(bitmap_triples.adjacency_chunked(
+              kg.spo, degree_cap=200_000 if sf >= 1 else 20_000)), out)
+    kg.unpersist()
+    tri.unpersist()
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "build"
     sf = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
@@ -176,7 +234,7 @@ def main() -> None:
     out: dict[str, float] = {}
     t0 = time.monotonic()
     {"build": cmd_build, "docs": cmd_docs, "enum": cmd_enum,
-     "queries": cmd_queries}[mode](spark, sf, out)
+     "queries": cmd_queries, "skew": cmd_skew}[mode](spark, sf, out)
     out["_total"] = round(time.monotonic() - t0, 3)
     print(json.dumps({"mode": mode, "sf": sf, "stages": out}))
     spark.stop()
