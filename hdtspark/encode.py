@@ -98,6 +98,14 @@ def encode_triples(triples_str: DataFrame, d: FourSectDict,
     per build.  Persisting the single packed 8-byte column makes the
     sampling pass materialize it once (~n_triples × 8 B, columnar
     compressed) and the exchange then re-reads the cache.
+
+    PRECONDITION: every term of ``triples_str`` must be present in ``d``.
+    The string-join path silently *drops* unknown terms (inner join); the
+    hash-keyed path above the broadcast cap could mis-encode an unknown
+    term on an xxhash64 collision, because ``hashes_injective`` certifies
+    only the dictionary's own key space.  All current callers build ``d``
+    from the same ``triples_str``; incremental/streaming callers must
+    re-dictionary new terms before encoding.
     """
     n = num_partitions or int(
         triples_str.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -31,6 +31,14 @@ literal) apply XSD VALUE semantics via a try_cast of the lexical form
 (_numeric_rewrite); all other comparisons operate on the canonical term
 strings — the subset boundary the reference reaches by delegating to
 spareval (src/sparql.rs:45-83).
+
+Two further documented subset boundaries: (1) string builtins
+(STRBEFORE/STRAFTER/CONTAINS/STRSTARTS/...) operate on the CANONICAL term
+string of a literal argument unless it is wrapped in STR(...) — wrap
+literal variables in STR() to act on the lexical form (spec semantics);
+(2) SUM/AVG coerce to DOUBLE (_num_sql), so integer aggregates lose the
+xsd:integer result type and exactness above 2^53 — a deliberate deviation
+matched by the declared DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -255,7 +263,11 @@ def _sql_str(s: str) -> str:
 # pure Spark SQL rewrite over that encoding — JVM-side, no UDFs.  SPARQL
 # type errors (e.g. LANG of an IRI) surface as NULL, which drops the row in
 # FILTER — the spec's effective-boolean-value behavior.
-_LEX_RE = "'^\"(.*)\"'"                       # group 1 = literal lexical form
+# (?s): '.' must span newlines — literal lexical forms may be multi-line
+# (the P_TEXT invariant stores raw turn text verbatim); term strings always
+# end in '"', '@tag' or '>', so the greedy match still stops at the closing
+# quote of the lexical form.
+_LEX_RE = "'(?s)^\"(.*)\"'"                   # group 1 = literal lexical form
 _LANG_RE = "'@([A-Za-z0-9-]+)$'"              # group 1 = language tag
 _DT_RE = r"'\\^\\^<([^>]*)>$'"                # group 1 = datatype IRI
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"

@@ -128,6 +128,22 @@ def test_builtin_serialization():
         parse('SELECT (GROUP_CONCAT(?v; SEP="x") AS ?s) { ?x ?p ?v }')
 
 
+def test_str_multiline_literal(spark):
+    """(?s) in _LEX_RE: STR of a literal whose lexical form contains a
+    newline returns the full lexical form, not '' (regexp no-match) —
+    reachable because rules.lit stores raw turn text verbatim."""
+    from hdtspark.sparql_parser import _t_str
+
+    df = spark.createDataFrame(
+        [('"line one\nline two"',), ('"tail"@en',),
+         ('"3"^^<http://www.w3.org/2001/XMLSchema#integer>',),
+         ("http://e/iri",)], "o: string")
+    df.createOrReplaceTempView("t_str_ml")
+    got = {r["v"] for r in spark.sql(
+        f"SELECT {_t_str(['`o`'])} AS v FROM t_str_ml").collect()}
+    assert got == {"line one\nline two", "tail", "3", "http://e/iri"}
+
+
 def test_filter_comparison_and_logic(kg, golden_oracle):
     """FILTER with string comparison and && (delegated to Catalyst)."""
     mentions = golden_oracle.pattern(None, rules.P_MENTIONS, None)
